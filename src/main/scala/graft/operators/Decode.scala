@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Schemas._
+import graft.Gazetteer
+
+/**
+ * Span decode (SURVEY.md §2.8 D1) — exact semantics of the reference's
+ * decode loop (src/prod.py:52-117):
+ *
+ *  - walk tokens in order; a non-"O" tag opens an entity (or continues the
+ *    open one if the tag is equal — QUIRK: adjacent same-tag *distinct*
+ *    entities merge into one span, there is no B-/I- distinction);
+ *  - a tag change closes the open entity and opens a new one;
+ *  - an "O" closes the open entity;
+ *  - while open, `end` extends to the end of the current word (the HF
+ *    subword cursor scan at src/prod.py:100-105; our tokens are whole
+ *    words, so end = token.end);
+ *  - a trailing open entity is flushed (src/prod.py:109-117);
+ *  - entity text = text[start:end] of the ORIGINAL (uncased) turn text
+ *    (src/prod.py:74-79).
+ *
+ * Then me-substitution (D3, src/prod.py:119-125): an entity whose lowercased
+ * text is in {me, myself, i} is replaced by the speaker — the reference uses
+ * channel_name; the transcript analog is the turn's `role` (the seed of
+ * speaker coreference, SURVEY.md §2.2 P8). Runs BEFORE dedup, same order as
+ * the reference.
+ *
+ * The primary implementation is row-local (tokens are a nested array — no
+ * shuffle). [[decodeExploded]] is the equivalent window/gaps-and-islands
+ * formulation over exploded token rows, used when tags arrive as long-format
+ * rows and pinned against the row-local one by DecodeSpec.
+ */
+object Decode {
+
+  /** Exact imperative decode of one turn (order = token order). */
+  def decodeEntities(text: String, toks: IndexedSeq[Token],
+      tags: IndexedSeq[String]): Seq[Entity] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entity]
+    var curTag: String = null
+    var curStart = 0
+    var curEnd = 0
+    var i = 0
+    while (i < toks.length) {
+      val tag = tags(i)
+      if (tag != "O") {
+        if (curTag == null || tag != curTag) {
+          if (curTag != null)
+            out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
+          curTag = tag; curStart = toks(i).start; curEnd = toks(i).end
+        } else {
+          curEnd = toks(i).end // continue: extend to this word's end
+        }
+      } else if (curTag != null) {
+        out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
+        curTag = null
+      }
+      i += 1
+    }
+    if (curTag != null)
+      out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
+    out.toSeq
+  }
+
+  /** Me-substitution (D3): first-person mention -> speaker. */
+  def meSubstitute(entities: Seq[Entity], speaker: String): Seq[Entity] =
+    entities.map { e =>
+      if (Gazetteer.MeStopWords.contains(e.text.toLowerCase(java.util.Locale.ROOT)))
+        e.copy(text = speaker)
+      else e
+    }
+
+  /** tagged turns -> decoded turns (narrow, row-local). */
+  def decode(spark: SparkSession, tagged: Dataset[TaggedTurn]): Dataset[DecodedTurn] = {
+    import spark.implicits._
+    tagged.map { t =>
+      val ents = meSubstitute(
+        decodeEntities(t.text, t.toks.toIndexedSeq, t.tags.toIndexedSeq),
+        if (t.role == null) "" else t.role)
+      DecodedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.text, ents)
+    }
+  }
+
+  /** Long-format mentions view (FIXTURES.md §3 `mentions` schema). */
+  def mentions(spark: SparkSession, decoded: Dataset[DecodedTurn]): Dataset[Mention] = {
+    import spark.implicits._
+    decoded.flatMap { d =>
+      d.entities.map(e =>
+        Mention(d.conv_id, d.turn_idx, e.tag, e.text, e.start, e.end,
+          "gazetteer:ac", 1.0))
+    }
+  }
+
+  /**
+   * Window/gaps-and-islands formulation of the same decode (SURVEY.md §2.4
+   * A8): over long-format rows (doc, pos, tag, start, end) —
+   * segment id = running count of tag changes, entities = per-segment
+   * min(start)/max(end) where tag != 'O'. One shuffle on `doc`; used for
+   * long-format inputs and as the SQL-expressible twin of the row-local
+   * decode (see SparkEntry q_segments).
+   */
+  def decodeExploded(tokens: DataFrame, docCol: String = "doc",
+      posCol: String = "pos"): DataFrame = {
+    val w = Window.partitionBy(col(docCol)).orderBy(col(posCol))
+    val changed = when(lag("tag", 1).over(w).isNull ||
+      lag("tag", 1).over(w) =!= col("tag"), lit(1)).otherwise(lit(0))
+    tokens
+      .withColumn("seg", sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("tag") =!= "O")
+      .groupBy(col(docCol), col("seg"), col("tag"))
+      .agg(min("start").as("start"), max("end").as("end"))
+      .drop("seg")
+  }
+}
