@@ -22,6 +22,12 @@ object Demo {
     println(s"turns=${turns.count()} triples=${triples.count()}")
     triples.show(20, truncate = false)
     triples.groupBy("pred").count().orderBy("pred").show()
+    // full checkpointed run: linking, coref, canonicalization, nodes/edges
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (t, n, e) = Pipeline.runCheckpointed(spark, turns, ckpt)
+    println(s"checkpointed: triples=${t.count()} nodes=${n.count()} edges=${e.count()} ckpt=$ckpt")
+    n.orderBy(org.apache.spark.sql.functions.desc("n_mentions")).show(10, truncate = false)
+    e.show(5, truncate = false)
     spark.stop()
   }
 }

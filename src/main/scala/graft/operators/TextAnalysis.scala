@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines, over a
+ * `documents(doc_id, text, lang, source, n_chars)` table. All are
+ * single-pass, row-local column expressions (built-in functions only —
+ * whole-stage-codegen'd, no UDF boxing in the hot path), so at 100 TB they
+ * run as one narrow scan stage with full predicate/column pushdown.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (cheap) — split on runs of whitespace. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: words + digits + punctuation pieces, the
+    * classic GPT-2-style pre-tokenizer shape (approximation; exact BPE
+    * needs the merge table). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("(?U)\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Stopword ratio over a fixed small english stopword set. */
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "was", "it", "for", "on", "with", "as", "at", "by")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (chars). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite quality score in [0,1] (length/punct/stopword heuristics —
+   * the classic pre-training quality filter shape): penalize too-short
+   * docs, punctuation soup, and stopword-free keyword stuffing.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+  }
+
+  /**
+   * Language ID via character n-gram + stopword voting: per language a
+   * tiny profile of high-frequency function words; score = matched
+   * profile-word count, argmax with deterministic tiebreak (profile
+   * order). A heuristic — the real signal at scale is a proper model, but
+   * the plumbing (one narrow projection) is identical.
+   */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "was", "it", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = langProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct orders by first field (score), tie -> later lang;
+    // reverse profile order so ties resolve to the EARLIER profile.
+    val best = array_max(array(scores.reverse: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized
+    * lowercased text (the exact-dedup key; DuckDB-checkable). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling polynomial hash (Karp-Rabin style) — a custom
+    * fingerprint that survives container changes; implemented with the
+    * `aggregate` higher-order function over characters (codegen-friendly,
+    * no UDF). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(regexp_replace(lower(trim(text)), "\\s+", " "), ""),
+      lit(0L),
+      (acc, ch) => acc * lit(1000003L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+
+  /** All analyses as one projection over documents. */
+  def analyze(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_subwords"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(meanTokenLen(col("text")), 4).as("mean_token_len"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}

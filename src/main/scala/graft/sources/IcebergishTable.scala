@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-style checkpoint table: Parquet data files + a JSON snapshot
+ * manifest committed LAST (write-temp-then-atomic-rename), giving the
+ * north rule's resumability semantics without an Iceberg runtime (none in
+ * /opt/spark/jars — SURVEY.md §7): a stage's output is visible iff its
+ * manifest says `committed`, so a killed run can never observe a partial
+ * snapshot, and resume = "skip stages whose committed snapshot exists".
+ *
+ * Lineage: the manifest records per output partition the conv_id (or
+ * first-column) min/max and row count — enough to trace any output
+ * partition back to its input key range — plus the parent snapshot id,
+ * forming the stage DAG. Swappable for real Iceberg behind the same
+ * methods.
+ *
+ * Layout: `<root>/<stage>/data/` (parquet), `<root>/<stage>/manifest.json`
+ */
+object IcebergishTable {
+
+  final case class PartitionLineage(pid: Int, keyMin: String, keyMax: String,
+      rows: Long)
+  final case class Manifest(snapshotId: String, stage: String,
+      parentSnapshot: String, rows: Long, partitions: Seq[PartitionLineage],
+      committed: Boolean)
+
+  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def manifestJson(m: Manifest): String = {
+    val parts = m.partitions.map(p =>
+      s"""{"pid":${p.pid},"key_min":${q(p.keyMin)},"key_max":${q(p.keyMax)},"rows":${p.rows}}""")
+      .mkString("[", ",", "]")
+    s"""{"snapshot_id":${q(m.snapshotId)},"stage":${q(m.stage)},""" +
+      s""""parent_snapshot":${q(m.parentSnapshot)},"rows":${m.rows},""" +
+      s""""partitions":$parts,"committed":${m.committed}}"""
+  }
+
+  def manifestPath(root: String, stage: String) = s"$root/$stage/manifest.json"
+  def dataPath(root: String, stage: String) = s"$root/$stage/data"
+
+  /** Is there a committed snapshot for this stage? */
+  def isCommitted(root: String, stage: String): Boolean = {
+    val p = Paths.get(manifestPath(root, stage))
+    Files.exists(p) && Files.readString(p).contains("\"committed\":true")
+  }
+
+  /**
+   * Commit a stage: write parquet, collect per-partition lineage (min/max
+   * of `keyCol` + row count per output file partition), then atomically
+   * publish the manifest. Deterministic snapshot id = stage + row count +
+   * parent (content-derived, no wall clock).
+   */
+  def commit(spark: SparkSession, df: DataFrame, root: String, stage: String,
+      keyCol: String, parentSnapshot: String = "none"): Manifest = {
+    val out = dataPath(root, stage)
+    val withPid = df.withColumn("__pid", spark_partition_id())
+    withPid.persist()
+    val lineage = withPid
+      .groupBy(col("__pid"))
+      .agg(min(col(keyCol).cast("string")).as("kmin"),
+        max(col(keyCol).cast("string")).as("kmax"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => PartitionLineage(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.pid).toSeq
+    withPid.drop("__pid").write.mode("overwrite").parquet(out)
+    withPid.unpersist()
+    val rows = lineage.map(_.rows).sum
+    val m = Manifest(s"$stage-$rows-$parentSnapshot", stage, parentSnapshot,
+      rows, lineage, committed = true)
+    // write-then-rename: the manifest (visibility point) appears atomically
+    val tmp = Paths.get(manifestPath(root, stage) + ".tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, manifestJson(m))
+    Files.move(tmp, Paths.get(manifestPath(root, stage)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    m
+  }
+
+  /** Read a committed snapshot (throws if absent/uncommitted). */
+  def read(spark: SparkSession, root: String, stage: String): DataFrame = {
+    require(isCommitted(root, stage), s"no committed snapshot for $stage")
+    spark.read.parquet(dataPath(root, stage))
+  }
+
+  /** Run-or-resume: reuse the committed snapshot if present, else compute,
+    * commit, and return the re-read (so downstream reads columnar files,
+    * not the recomputation lineage). */
+  def stage(spark: SparkSession, root: String, stageName: String,
+      keyCol: String, parent: String)(compute: => DataFrame): DataFrame = {
+    if (!isCommitted(root, stageName))
+      commit(spark, compute, root, stageName, keyCol, parent)
+    read(spark, root, stageName)
+  }
+}

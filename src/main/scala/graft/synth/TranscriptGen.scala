@@ -77,6 +77,10 @@ object TranscriptGen {
       case 5 => (s"$t was remixed by me", null)
       case 6 => (s"lookup result: $t — $a — $al", "search_music")
       case 7 => (s"${filler(4)} $t arranged by $a ${filler(3)}", null)
+      case 8 => (r.pick(Seq( // anaphora turns for the coref stage
+        "honestly it deserves an award",
+        "I listened to that song all week",
+        "it keeps looping in my head")), null)
       case _ => (filler(6 + r.nextInt(10)), null)
     }
   }

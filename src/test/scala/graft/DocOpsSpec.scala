@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DocDedup, Multimodal, Similarity, TextAnalysis}
+
+class DocOpsSpec extends SparkSuite {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+      (3L, "completely different content about spark engines and shuffles"),
+      (4L, "THE  quick   brown fox jumps over the lazy dog") // normalized dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized duplicates, keeps min doc_id") {
+    val out = DocDedup.exact(docs).collect()
+    val dup = out.find(_.getAs[Long]("dup_count") == 3L)
+    assert(dup.isDefined && dup.get.getAs[Long]("keep_id") == 0L)
+    assert(out.length == 3) // {0,1,4}, {2}, {3}
+  }
+
+  test("ngram jaccard finds the near-dup pair, not unrelated docs") {
+    val pairs = DocDedup.ngramJaccardPairs(docs, k = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L))) // one-word difference
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds verified near-dups; agrees with exact jaccard") {
+    val lsh = DocDedup.minhashLshPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 1L)))
+    assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L))
+    // verification step guarantees precision: every reported pair really
+    // has exact jaccard >= threshold
+    val exact = DocDedup.ngramJaccardPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical docs distance 0; near-dups small hamming") {
+    val sigs = docs.select(col("doc_id"), DocDedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 10)
+    val pairs = DocDedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("brute-force cosine top-k is deterministic and self-consistent") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val topk = Similarity.bruteForceTopK(queries, emb, 5)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 3 queries x 5 neighbors
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { ns =>
+      val sorted = ns.sortBy(_.getAs[Int]("rank"))
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force is reasonable on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(queries, emb, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ANN recall@3 = $recall%.2f (candidates only from LSH buckets)")
+    assert(recall > 0.2, s"recall $recall suspiciously low")
+  }
+
+  test("text analysis: counts, ratios, quality, langid, fingerprint") {
+    val out = TextAnalysis.analyze(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("n_tokens") == 9)
+    assert(out(0L).getAs[Double]("stopword_ratio") > 0.2) // the/over/the
+    assert(out(0L).getAs[String]("lang_pred") == "en")
+    assert(out(0L).getAs[String]("fingerprint") ==
+      out(4L).getAs[String]("fingerprint")) // normalized dup
+    assert(out(0L).getAs[Double]("quality") > 0.0 &&
+      out(0L).getAs[Double]("quality") <= 1.0)
+  }
+
+  test("multimodal plumbing: stub decode + histogram + frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 5)
+    feats.foreach { f =>
+      assert(f.meta.n_bytes > 0 && f.meta.width >= 64)
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    }
+    // determinism of the stub
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.map(_.meta).toSeq == again.map(_.meta).toSeq)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.agg(max(pmod(col("frame_idx"), lit(2)))).head.getInt(0) == 0)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.Schemas._
+import graft.operators._
+import graft.synth.TranscriptGen
+
+class KgStagesSpec extends SparkSuite {
+
+  test("linker: exact gazetteer match, speaker, surface fallback") {
+    val dict = Linker.buildDict()
+    def m(tag: String, text: String) =
+      Mention("c1", 0, tag, text, 0, 1, "t", 1.0)
+    assert(Linker.linkOne(dict, m("TITLE", "senbonzakura"), Set("user")).entity_id == "t1")
+    assert(Linker.linkOne(dict, m("TITLE", "Senbonzakura"), Set("user")).link_score == 1.0)
+    val sp = Linker.linkOne(dict, m("ORIGINAL_AUTHOR", "user"), Set("user"))
+    assert(sp.entity_id == "speaker:user" && sp.link_score == 0.9)
+    val sf = Linker.linkOne(dict, m("TITLE", "Unknown Song 99"), Set("user"))
+    assert(sf.entity_id == "sf:TITLE:unknownsong99" && sf.link_score == 0.5)
+    // normalized match: punctuation-stripped surface still links
+    val nm = Linker.linkOne(dict, m("ORIGINAL_AUTHOR", "deco 27"), Set("user"))
+    assert(nm.entity_id == Gazetteer.linkIndex("deco*27") && nm.link_score == 0.7)
+  }
+
+  test("coref: anaphor resolves to most recent TITLE within window") {
+    import spark.implicits._
+    def turn(c: String, i: Int, text: String, ents: Seq[Entity]) =
+      DecodedTurn(c, i, "user", null, text, ents)
+    val decoded = Seq(
+      turn("c1", 0, "Melt is great", Seq(Entity("TITLE", "Melt", 0, 4))),
+      turn("c1", 1, "honestly it deserves an award", Nil),
+      turn("c1", 9, "it keeps looping in my head", Nil), // outside window of 5
+      turn("c2", 0, "it came out of nowhere", Nil) // no antecedent
+    ).toDS()
+    val links = Coref.resolve(spark, decoded, window = 5).collect()
+    assert(links.toSeq == Seq(Coref.CorefLink("c1", 1, "Melt", 0)))
+    val triples = Coref.triples(spark,
+      Coref.resolve(spark, decoded, window = 5)).collect()
+    assert(triples.head.pred == "refers_to" && triples.head.subj == "c1#1")
+  }
+
+  test("connected components: min-label propagation, deterministic") {
+    import spark.implicits._
+    val verts = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val cc = Canonicalize.connectedComponents(spark, verts, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f"))
+  }
+
+  test("canonicalization merges near-alias surfaces; rep by freq/len/lex") {
+    import spark.implicits._
+    val mentions = Seq(
+      ("TITLE", "Senbonzakura"), ("TITLE", "Senbonzakura"),
+      ("TITLE", "Senbonzakura!"), ("TITLE", "Senbonzakura!!"),
+      ("TITLE", "Melt"), ("VOCALOID", "Hatsune Miku"))
+      .toDF("tag", "text")
+    val cm = Canonicalize.canonicalMap(spark, mentions)
+    val rows = cm.collect().map(r =>
+      (r.getAs[String]("tag"), r.getAs[String]("surface"),
+        r.getAs[String]("canonical"))).toSet
+    // all three Senbonzakura variants share the canonical (most frequent)
+    assert(rows.contains(("TITLE", "Senbonzakura", "Senbonzakura")))
+    assert(rows.contains(("TITLE", "Senbonzakura!", "Senbonzakura")))
+    assert(rows.contains(("TITLE", "Senbonzakura!!", "Senbonzakura")))
+    assert(rows.contains(("TITLE", "Melt", "Melt")))
+    // different tag never merges with titles
+    assert(rows.contains(("VOCALOID", "Hatsune Miku", "Hatsune Miku")))
+    val nodes = Canonicalize.nodes(spark, cm).collect()
+    val senbo = nodes.find(_.canonical == "Senbonzakura").get
+    assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
+  }
+
+  test("checkpointed run is resumable and idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ckpt").toString
+    val turns = TranscriptGen.generate(spark, 30L)
+    val (t1, n1, e1) = Pipeline.runCheckpointed(spark, turns, root)
+    val triples1 = t1.collect().map(_.toString).sorted.toSeq
+    val nodes1 = n1.collect().map(_.toString).sorted.toSeq
+    val edges1 = e1.collect().map(_.toString).sorted.toSeq
+    // simulate kill+restart: truncate the LAST stage's manifest, re-run
+    Files.deleteIfExists(java.nio.file.Paths.get(
+      graft.sources.IcebergishTable.manifestPath(root, "edges")))
+    val (t2, n2, e2) = Pipeline.runCheckpointed(spark, turns, root)
+    assert(t2.collect().map(_.toString).sorted.toSeq == triples1)
+    assert(n2.collect().map(_.toString).sorted.toSeq == nodes1)
+    assert(e2.collect().map(_.toString).sorted.toSeq == edges1)
+    assert(edges1.nonEmpty)
+    // manifest carries per-partition lineage
+    val manifest = Files.readString(java.nio.file.Paths.get(
+      graft.sources.IcebergishTable.manifestPath(root, "triples")))
+    assert(manifest.contains("\"committed\":true") &&
+      manifest.contains("key_min") && manifest.contains("parent_snapshot"))
+  }
+
+  test("edges resolve endpoints onto typed node ids") {
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, 30L)
+    val root = Files.createTempDirectory("ckpt2").toString
+    val (_, nodesDf, edgesDf) = Pipeline.runCheckpointed(spark, turns, root)
+    val nodeIds = nodesDf.select("node_id").as[String].collect().toSet
+    val e = edgesDf.as[Edge].collect()
+    assert(e.nonEmpty)
+    val resolvedSrc = e.count(x => nodeIds.contains(x.src_id))
+    val resolvedDst = e.count(x => nodeIds.contains(x.dst_id))
+    // most subjects/objects are gazetteer-backed and must resolve to nodes
+    assert(resolvedSrc > e.length / 2, s"src resolution $resolvedSrc/${e.length}")
+    assert(resolvedDst > e.length / 2, s"dst resolution $resolvedDst/${e.length}")
+  }
+}
