@@ -78,14 +78,15 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
-    val scores = langProfiles.map { case (lang, words) =>
+    val scores = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as("score"),
+        // struct max is lexicographic (score, prio, lang); negative index
+        // makes ties resolve to the EARLIER profile deterministically
+        lit(-i).as("prio"),
         lit(lang).as("lang"))
     }
-    // array_max on struct orders by first field (score), tie -> later lang;
-    // reverse profile order so ties resolve to the EARLIER profile.
-    val best = array_max(array(scores.reverse: _*))
+    val best = array_max(array(scores: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
