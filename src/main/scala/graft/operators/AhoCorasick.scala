@@ -42,9 +42,11 @@ final class AhoCorasick private (
     0
   }
 
-  /** All matches as (patternId, endExclusive-charIndex) pairs. */
-  def findAll(text: CharSequence): scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
-    val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+  /** All matches packed as (patternId << 32 | endExclusive) longs — a
+    * primitive array, zero boxing on the per-char hot path. */
+  def findAllPacked(text: CharSequence): Array[Long] = {
+    var res = new Array[Long](8)
+    var k = 0
     var s = 0
     var i = 0
     val n = text.length
@@ -52,10 +54,21 @@ final class AhoCorasick private (
       s = step(s, text.charAt(i))
       var o = outHead(s)
       while (o != -1) {
-        res += ((outPat(o), i + 1))
+        if (k == res.length) res = java.util.Arrays.copyOf(res, k * 2)
+        res(k) = (outPat(o).toLong << 32) | (i + 1).toLong
+        k += 1
         o = outNext(o)
       }
       i += 1
+    }
+    if (k == res.length) res else java.util.Arrays.copyOf(res, k)
+  }
+
+  /** All matches as (patternId, endExclusive-charIndex) pairs. */
+  def findAll(text: CharSequence): scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    findAllPacked(text).foreach { p =>
+      res += (((p >>> 32).toInt, (p & 0xffffffffL).toInt))
     }
     res
   }

@@ -76,8 +76,15 @@ object Decode {
   def decode(spark: SparkSession, tagged: Dataset[TaggedTurn]): Dataset[DecodedTurn] = {
     import spark.implicits._
     tagged.map { t =>
-      val ents = meSubstitute(
-        decodeEntities(t.text, t.toks.toIndexedSeq, t.tags.toIndexedSeq),
+      val toksIdx = t.toks match {
+        case is: IndexedSeq[Token] => is
+        case other => other.toIndexedSeq
+      }
+      val tagsIdx = t.tags match {
+        case is: IndexedSeq[String] => is
+        case other => other.toIndexedSeq
+      }
+      val ents = meSubstitute(decodeEntities(t.text, toksIdx, tagsIdx),
         if (t.role == null) "" else t.role)
       DecodedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.text, ents)
     }

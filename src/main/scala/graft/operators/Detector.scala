@@ -47,52 +47,80 @@ object Detector {
       byLower.values.map(_.priority).toArray)
   }
 
-  /** Tag one turn's tokens. Returns the per-token tag array ("O" default). */
+  /** Tag one turn's tokens. Returns the per-token tag array ("O" default).
+    *
+    * Allocation discipline: this runs for EVERY turn of a 10^12-turn
+    * corpus; the workload is allocation-rate bound (measured: per-thread
+    * throughput halves from 8 to 32 threads with boxed collections), so
+    * token alignment uses sorted primitive arrays + binary search and the
+    * automaton returns packed longs — no boxing on the per-turn path. */
   def tagTokens(model: Model, text: String, toks: Array[Token]): Array[String] = {
     val tags = Array.fill(toks.length)("O")
     if (toks.isEmpty) return tags
     val lower = text.toLowerCase(java.util.Locale.ROOT)
-    // boundary sets for token alignment
-    val starts = new java.util.HashMap[Integer, Integer]() // start -> tok idx
-    val ends = new java.util.HashSet[Integer]()
+    // boundary arrays for token alignment (token starts/ends are sorted)
+    val starts = new Array[Int](toks.length)
+    val ends = new Array[Int](toks.length) // full ends
+    val coreEnds = new Array[Int](toks.length) // ends minus [.!]* suffix
     var i = 0
     while (i < toks.length) {
-      starts.put(toks(i).start, i)
-      ends.add(toks(i).end)
-      // word-core end: strip the [.!]* suffix the tokenizer keeps attached
+      starts(i) = toks(i).start
+      ends(i) = toks(i).end
       var e = toks(i).end
       while (e > toks(i).start &&
           (text.charAt(e - 1) == '.' || text.charAt(e - 1) == '!')) e -= 1
-      if (e > toks(i).start) ends.add(e)
+      coreEnds(i) = e
       i += 1
     }
-    // collect aligned candidate matches
-    val raw = model.ac.findAll(lower)
-    val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (start, end, pid)
-    raw.foreach { case (pid, end) =>
+    @inline def isEnd(e: Int): Boolean = {
+      val j = java.util.Arrays.binarySearch(ends, e)
+      if (j >= 0) true
+      else {
+        // coreEnds is also sorted (token order); search it too
+        java.util.Arrays.binarySearch(coreEnds, e) >= 0
+      }
+    }
+    // collect aligned candidates packed as sort keys:
+    // start(21b) | invLen(15b) | prio(7b) | pid(20b) — ascending sort =
+    // (start asc, length desc, priority asc, pid asc), no tuple boxing
+    val raw = model.ac.findAllPacked(lower)
+    val cands = new Array[Long](raw.length)
+    var nc = 0
+    var r = 0
+    while (r < raw.length) {
+      val pid = (raw(r) >>> 32).toInt
+      val end = (raw(r) & 0xffffffffL).toInt
       val start = end - model.ac.patterns(pid).length
-      if (starts.containsKey(start) && ends.contains(end))
-        cands += ((start, end, pid))
+      if (java.util.Arrays.binarySearch(starts, start) >= 0 && isEnd(end)) {
+        val len = math.min(end - start, (1 << 15) - 1)
+        val invLen = ((1 << 15) - 1) - len
+        val prio = math.min(math.max(model.priority(pid), 0), (1 << 7) - 1)
+        cands(nc) = (start.toLong << 42) | (invLen.toLong << 27) |
+          (prio.toLong << 20) | pid.toLong
+        nc += 1
+      }
+      r += 1
     }
-    // leftmost-longest non-overlapping, priority tiebreak
-    val sorted = cands.sortBy { case (s, e, pid) =>
-      (s, -(e - s), model.priority(pid), pid)
-    }
+    java.util.Arrays.sort(cands, 0, nc)
     var occupiedUntil = -1
-    sorted.foreach { case (s, e, pid) =>
+    var c = 0
+    while (c < nc) {
+      val s = (cands(c) >>> 42).toInt
+      val pid = (cands(c) & ((1 << 20) - 1)).toInt
+      val e = s + model.ac.patterns(pid).length
       if (s >= occupiedUntil) {
         occupiedUntil = e
         val tag = model.tags(pid)
-        val first = starts.get(s)
-        var k = first
+        var k = java.util.Arrays.binarySearch(starts, s)
         while (k < toks.length && toks(k).end <= e) {
-          if (toks(k).start >= s) tags(k) = tag
+          tags(k) = tag
           k += 1
         }
         // a token whose word-core end == e (match ends before its [.!]*
         // suffix) is still fully claimed by the match
         if (k < toks.length && toks(k).start < e) tags(k) = tag
       }
+      c += 1
     }
     tags
   }
@@ -106,7 +134,9 @@ object Detector {
       it.map { t =>
         val toks = PyText.tokenizeWithOffsets(t.text)
         TaggedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.text,
-          toks.toIndexedSeq, tagTokens(model, t.text, toks).toIndexedSeq)
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            tagTokens(model, t.text, toks)))
       }
     }
   }

@@ -62,20 +62,30 @@ object DocDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Seeded affine MinHash signature: for hash i, min over shingles of
-    * ((a_i * h(s) + b_i) mod p). Row-local; deterministic. */
-  def minhashSignature(text: org.apache.spark.sql.Column, numHashes: Int = 32,
-      k: Int = 3): org.apache.spark.sql.Column = {
-    val p = 2147483647L // 2^31 - 1
-    val sh = shingles(text, k)
+  private val MinhashP = 2147483647L // 2^31 - 1
+
+  /** Seeded affine MinHash over a PRE-MATERIALIZED shingle-hash array
+    * column (hash each shingle once; the 32 permutations then reuse it —
+    * without this the shingle set is recomputed per hash function and the
+    * stage goes ~20x slower). */
+  def minhashFromHashes(shHashes: org.apache.spark.sql.Column,
+      numHashes: Int): org.apache.spark.sql.Column = {
     val hs = (0 until numHashes).map { i =>
-      val a = 1L + 2L * ((i * 0x9E3779B9L + 0x85EBCA6BL) % 1000000007L % (p / 2))
-      val b = (i * 0xC2B2AE35L + 0x27D4EB2FL) % p
-      aggregate(sh, lit(p),
-        (acc, s) => least(acc, pmod(hash(s).cast("long") * a + b, lit(p))))
+      val a = 1L + 2L * ((i * 0x9E3779B9L + 0x85EBCA6BL) % 1000000007L % (MinhashP / 2))
+      val b = (i * 0xC2B2AE35L + 0x27D4EB2FL) % MinhashP
+      coalesce(
+        array_min(transform(shHashes, h => pmod(h * a + b, lit(MinhashP)))),
+        lit(MinhashP))
     }
     array(hs: _*)
   }
+
+  /** Seeded affine MinHash signature: for hash i, min over shingles of
+    * ((a_i * h(s) + b_i) mod p). Row-local; deterministic. */
+  def minhashSignature(text: org.apache.spark.sql.Column, numHashes: Int = 32,
+      k: Int = 3): org.apache.spark.sql.Column =
+    minhashFromHashes(transform(shingles(text, k), s => hash(s).cast("long")),
+      numHashes)
 
   /**
    * MinHash LSH near-dup candidates + exact-Jaccard verification.
@@ -87,8 +97,12 @@ object DocDedup {
       bands: Int = 8, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = documents.select(col("doc_id"),
-      minhashSignature(col("text"), numHashes, k).as("sig"))
+    // two projections: materialize shingle hashes once, THEN the signature
+    val sig = documents
+      .select(col("doc_id"),
+        transform(shingles(col("text"), k), s => hash(s).cast("long"))
+          .as("shh"))
+      .select(col("doc_id"), minhashFromHashes(col("shh"), numHashes).as("sig"))
     val bandCols = (0 until bands).map(b =>
       hash(slice(col("sig"), b * r + 1, r), lit(b)))
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))

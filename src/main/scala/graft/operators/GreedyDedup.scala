@@ -61,6 +61,9 @@ object GreedyDedup {
   /** The exact two-pass dedup. Input order = decode order (must be stable). */
   def filterUniqueEntities(entities: Seq[String]): Seq[String] = {
     if (entities.isEmpty) return Seq.empty
+    // fast path: a single entity passes both passes unchanged (the common
+    // case at corpus scale — skips all TF-IDF/Levenshtein allocation)
+    if (entities.lengthCompare(1) == 0) return entities
     val nonEmptyVocab = entities.exists(_.nonEmpty)
     val afterTfidf: Seq[String] =
       if (!nonEmptyVocab) {

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Schemas._
+
+/**
+ * Hot-conversation skew handling for ORDER-DEPENDENT per-conversation
+ * stages (SURVEY.md §4.3): transcripts are Zipf-skewed in conv_id, so a
+ * plain repartition(conv_id) gives one task the 10^7-turn conversation
+ * while its siblings finish in seconds.
+ *
+ * Strategy (two-level):
+ *  1. a cheap pre-pass `groupBy(conv_id).count()` finds conversations above
+ *     `chunkSize` turns — at Zipf skew that's a tiny set, collected and
+ *     broadcast as a map;
+ *  2. hot conversations are split into chunks of `chunkSize` turns with a
+ *     salted key (conv_id, chunk); each chunk carries the last `overlap`
+ *     turns of its predecessor as CONTEXT rows (is_ctx=true) so a
+ *     window-of-k computation sees exactly the same predecessors it would
+ *     see unsalted; context rows produce no output;
+ *  3. cold conversations flow through with chunk 0 and no duplication.
+ *
+ * Equivalence: for any per-turn computation that reads at most `overlap`
+ * preceding turns (the coref recency window), salted output == unsalted
+ * output. Pinned by SkewSaltingSpec.
+ */
+object SkewSalting {
+
+  final case class SaltedTurn(conv_id: String, chunk: Int, is_ctx: Boolean,
+      turn: DecodedTurn)
+
+  /** Salt decoded turns: hot convs chunked with overlap-context rows. */
+  def salt(spark: SparkSession, decoded: Dataset[DecodedTurn],
+      chunkSize: Int, overlap: Int): Dataset[SaltedTurn] = {
+    import spark.implicits._
+    require(overlap <= chunkSize, "overlap must fit in a chunk")
+    // pre-pass: conversations that need salting (tiny under Zipf)
+    val hotSizes: Map[String, Long] = decoded.groupBy("conv_id").count()
+      .where(col("count") > chunkSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotB = spark.sparkContext.broadcast(hotSizes)
+    decoded.flatMap { d =>
+      if (!hotB.value.contains(d.conv_id)) {
+        Seq(SaltedTurn(d.conv_id, 0, is_ctx = false, d))
+      } else {
+        val own = d.turn_idx / chunkSize
+        val base = Seq(SaltedTurn(d.conv_id, own, is_ctx = false, d))
+        // also serve as context for the NEXT chunk if in its overlap window
+        val nextStart = (own + 1) * chunkSize
+        if (d.turn_idx >= nextStart - overlap && nextStart < hotB.value(d.conv_id))
+          base :+ SaltedTurn(d.conv_id, own + 1, is_ctx = true, d)
+        else base
+      }
+    }
+  }
+
+  /** Coref over salted chunks: same semantics as [[Coref.resolve]] but the
+    * wide stage keys on (conv_id, chunk) — hot conversations fan out over
+    * `size/chunkSize` tasks instead of one. */
+  def corefSalted(spark: SparkSession, decoded: Dataset[DecodedTurn],
+      window: Int = 5, chunkSize: Int = 1000): Dataset[Coref.CorefLink] = {
+    import spark.implicits._
+    salt(spark, decoded, chunkSize, overlap = window)
+      .repartition(col("conv_id"), col("chunk"))
+      .sortWithinPartitions(col("conv_id"), col("chunk"), col("turn.turn_idx"))
+      .mapPartitions { it =>
+        var key: (String, Int) = null
+        var recent = List.empty[(Int, String)]
+        val anaphor = java.util.regex.Pattern.compile(
+          "(?i)\\b(it|that (song|track|tune))\\b")
+        it.flatMap { st =>
+          val d = st.turn
+          if ((st.conv_id, st.chunk) != key) {
+            key = (st.conv_id, st.chunk); recent = Nil
+          }
+          val titlesHere = d.entities.filter(_.tag == "TITLE")
+          val out =
+            if (!st.is_ctx && titlesHere.isEmpty && d.text != null &&
+              anaphor.matcher(d.text).find()) {
+              recent.find { case (ti, _) => d.turn_idx - ti <= window }
+                .map { case (ti, t) =>
+                  Coref.CorefLink(d.conv_id, d.turn_idx, t, ti) }
+                .toSeq
+            } else Seq.empty
+          titlesHere.foreach { e =>
+            recent = ((d.turn_idx, e.text)) :: recent.take(window)
+          }
+          out
+        }
+      }
+  }
+}

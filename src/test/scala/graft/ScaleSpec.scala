@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Coref, SkewSalting}
+import graft.synth.TranscriptGen
+import graft.functions.CatalystExprs
+
+/** Scale-machinery specs: skew salting equivalence, plan-shape audits
+  * (shuffle budget, pushdown), Catalyst expression parity, streaming. */
+class ScaleSpec extends SparkSuite {
+
+  test("salted coref == unsalted coref (overlap-context equivalence)") {
+    import spark.implicits._
+    // conv 0 is the hot conversation (320 turns) -> gets chunked
+    val turns = TranscriptGen.generate(spark, 25L)
+    val decoded = Pipeline.decodeTurns(spark, turns)
+    val plain = Coref.resolve(spark, decoded, window = 5).collect().toSet
+    val salted = SkewSalting.corefSalted(spark, decoded, window = 5,
+      chunkSize = 50).collect().toSet
+    assert(plain.nonEmpty, "fixture must exercise coref")
+    assert(salted == plain)
+  }
+
+  test("extraction core is a single narrow stage: NO shuffle exchange") {
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, 5L)
+    val plan = Pipeline.extract(spark, turns).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"extract() must stay narrow (detect/decode/dedup/triples are row-local); got:\n$plan")
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"filter must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      plan.contains("struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must read only 2 columns:\n$plan")
+  }
+
+  test("join/agg queries use whole-stage codegen and broadcast the dim side") {
+    val q = SparkEntry.queries("q_join_revenue_by_nation")
+    val df = q(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage codegen renders as "*(n)" stage markers in toString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+  }
+
+  test("Catalyst StaticInvoke/doGenCode expressions match the Scala semantics") {
+    import spark.implicits._
+    val df = Seq("o'neill's SONG", "miku's", "日本語 test", "Tavaszi Szél")
+      .toDF("s")
+    val got = df.select(
+      CatalystExprs.pyTitleCase(col("s")).as("t"),
+      CatalystExprs.normalizeAscii(col("s")).as("n"),
+      CatalystExprs.cpToUtf16(col("s"), lit(2)).as("u16"),
+      CatalystExprs.utf16ToCp(col("s"), lit(2)).as("cp"))
+      .collect()
+    val exp = Seq("o'neill's SONG", "miku's", "日本語 test", "Tavaszi Szél")
+    got.zip(exp).foreach { case (r, s) =>
+      assert(r.getString(0) == graft.functions.PyText.pyTitle(s))
+      assert(r.getInt(2) == graft.functions.PyText.cpToUtf16(s, 2))
+      assert(r.getInt(3) == graft.functions.PyText.utf16ToCp(s, 2))
+    }
+    // NFKD fold strips the accent
+    val n = df.where(col("s") === "Tavaszi Szél")
+      .select(CatalystExprs.normalizeAscii(col("s"))).head.getString(0)
+    assert(n == "Tavaszi Szel")
+  }
+
+  test("streaming ingestion: same triples as batch, duplicates dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batchTurns = TranscriptGen.turnsOfConv(42L, 3L, 8)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Schemas.Turn]
+    mem.addData(batchTurns)
+    mem.addData(batchTurns.take(3)) // duplicates — must be dropped
+    val triples = graft.streaming.StreamingIngest.tripleStream(spark, mem.toDS())
+    val q = triples.writeStream.format("memory").queryName("t_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_out").as[Schemas.Triple].collect()
+      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).sorted.toSeq
+    val expected = Pipeline.extract(spark, batchTurns.toDS()).collect()
+      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).sorted.toSeq
+    assert(got == expected)
+  }
+}
