@@ -60,7 +60,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // capture BEFORE any pinning (availableProcessors honors affinity)
     val totalCores = Runtime.getRuntime.availableProcessors()
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "60000").toLong
+    // sized so the local[2] leg runs ~15s — short enough for the round
+    // budget, long enough that fixed per-job overhead (codegen, scheduling)
+    // doesn't pollute the N->4N efficiency measurement
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)

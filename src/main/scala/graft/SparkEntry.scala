@@ -162,6 +162,21 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).as("jac"))),
 
+    "q_confusion" -> ((s, d) =>
+      // A7 shape: confusion counts between the stored lang and the
+      // heuristic language ID (one hash aggregate)
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
+    "q_class_weights" -> ((s, d) => {
+      // A2 shape: balanced class weights total/(k*count) over lang labels
+      val counts = t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("cnt"))
+      val total = t(s, d, "documents").count()
+      counts.select(col("lang"),
+        round(lit(total.toDouble) / (lit(5.0) * col("cnt")), 6).as("weight"))
+    }),
+
     // ---- embeddings: similarity search (training-data ops)
     "q_embed_topk" -> ((s, d) => {
       // cast float->double BEFORE the dot product so the arithmetic matches
@@ -347,6 +362,36 @@ object SparkEntry {
            WHEN s_zh > 0 THEN 'zh'
            ELSE 'und' END AS lang_pred
          FROM sc""",
+    "q_confusion" ->
+      """WITH s AS (SELECT doc_id, lang,
+           string_split_regex(lower(text), '\s+') AS toks FROM documents),
+         sc AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','is','was',
+             'it','in'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
+             'nicht','ich','ein'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('le','la','les','et','est','je',
+             'un','une'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('el','la','los','y','es','un',
+             'una','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有')))
+             AS s_zh
+           FROM s),
+         pred AS (SELECT lang, CASE
+           WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+             AND s_en >= s_zh THEN 'en'
+           WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh
+             THEN 'de'
+           WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+           WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+           WHEN s_zh > 0 THEN 'zh'
+           ELSE 'und' END AS lang_pred
+         FROM sc)
+         SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2""",
+    "q_class_weights" ->
+      """SELECT lang, round((SELECT count(*) FROM documents)::double
+           / (5.0 * count(*)), 6) AS weight
+         FROM documents GROUP BY 1""",
     "q_tokenize_count" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> ''))

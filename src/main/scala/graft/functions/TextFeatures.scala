@@ -134,6 +134,11 @@ object TextFeatures {
         lower(t).rlike("([一-龠ぁ-ゔァ-ヴーａ-ｚＡ-Ｚ０-９々〆〤]+|[a-zA-Z0-9]+)"),
         1).otherwise(0))
 
+  /** F14 (src/prod.py:38): argmax over a score array, 0-based; first
+    * occurrence wins on ties (np.argmax semantics). */
+  def argmaxCol(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
   /** A4 as Columns: hashtag / link sets via regexp_extract_all. */
   def hashtagsCol(text: Column): Column =
     regexp_extract_all(lower(text), lit("(?U)#(\\w+)"), lit(1))

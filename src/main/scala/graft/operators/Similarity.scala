@@ -47,15 +47,30 @@ object Similarity {
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((i, j) => gaussianish(seed, i, j))
 
-  /** Sign-bit signature as an array of numPlanes ints (0/1), row-local. */
+  /** Sign-bit signature as an array of numPlanes ints (0/1), row-local.
+    * Implemented as ONE scalar function over the vector (planes captured
+    * in the closure): the pure-Column alternative (numPlanes aggregates
+    * over zip_with against numPlanes literal arrays) explodes generated
+    * code size and falls out of codegen — measured 10x slower. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val sig = planes.map { p =>
-      val dot = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, 1).otherwise(0)
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Int](planes.length)
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var dot = 0.0
+          var j = 0
+          val n = math.min(p.length, v.length)
+          while (j < n) { dot += v(j) * p(j); j += 1 }
+          out(i) = if (dot >= 0) 1 else 0
+          i += 1
+        }
+        out
+      }
     }
-    array(sig: _*)
+    f(vec)
   }
 
   /** Exact cosine top-k neighbors for a query subset.

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PyText
+
+/**
+ * The reference's OFFLINE pipeline stages over its own record shape
+ * (SURVEY.md §3.2) — so a user of the reference can run their existing
+ * fetch/split/preprocess/tokenize flow on this engine directly:
+ *
+ *  videos(yt_id, language, title, description, channel_name,
+ *         ner array<struct<start int, end int, source string,
+ *                          entry string, type string>>)
+ *
+ * Stage parity:
+ *  - P1 projection/rename (src/data/database.py:46-57) = a `select`;
+ *  - P2 text concat `title || ' [SEP] ' || description`
+ *    (src/data/preprocess.py:53-54) with description-sourced NER spans
+ *    shifted by length(title) + 7 (preprocess.py:56-61; 7 = len(" [SEP] ")
+ *    — the reference hard-codes the shift, so spans sourced from the
+ *    title are NOT shifted);
+ *  - F1 tokenize-with-offsets as a projection;
+ *  - D8 label alignment via [[LabelAlign.align]];
+ *  - O1 split via [[Metrics.trainValSplit]].
+ */
+object VideoPipeline {
+
+  /** P1: positional tuple -> named record. */
+  def fromRecords(df: DataFrame, names: Seq[String]): DataFrame =
+    df.toDF(names: _*)
+
+  /** P2 + preprocess stage: doc text + shifted NER spans. Spans with
+    * source = 'description' shift by length(title) + 7; others keep their
+    * offsets (they index into the title, which is the doc prefix). */
+  def preprocess(videos: DataFrame): DataFrame = {
+    val shift = length(col("title")) + lit(7)
+    videos
+      .withColumn("text",
+        concat(col("title"), lit(" [SEP] "), col("description")))
+      .withColumn("ner", transform(col("ner"), n =>
+        struct(
+          (n.getField("start") + when(n.getField("source") === "description",
+            shift).otherwise(lit(0))).as("start"),
+          (n.getField("end") + when(n.getField("source") === "description",
+            shift).otherwise(lit(0))).as("end"),
+          n.getField("source").as("source"),
+          n.getField("entry").as("entry"),
+          n.getField("type").as("type"))))
+  }
+
+  /** F1 as a projection: tokens with offsets (array<struct<tok,start,end>>). */
+  def tokenized(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val tok = udf((text: String) => PyText.tokenizeWithOffsets(text))
+    docs.withColumn("tokens", tok(col("text")))
+  }
+
+  /** Long-format token rows ready for [[LabelAlign.align]]: with our
+    * whole-word tokenizer, word_id == pos. */
+  def tokenRows(spark: SparkSession, docs: DataFrame, docKey: String): DataFrame =
+    tokenized(spark, docs)
+      .select(col(docKey).as("doc"), posexplode(col("tokens")))
+      .select(col("doc"), col("pos"), col("pos").as("word_id"),
+        col("col.start").as("tok_start"), col("col.end").as("tok_end"))
+
+  /** Spans in LabelAlign shape. */
+  def spanRows(docs: DataFrame, docKey: String): DataFrame =
+    docs.select(col(docKey).as("doc"), explode(col("ner")).as("n"))
+      .select(col("doc"), col("n.start").as("ner_start"),
+        col("n.end").as("ner_end"), col("n.type").as("tag"))
+
+  /** Full training-prep: preprocess -> tokenize -> label align (D8). */
+  def prepare(spark: SparkSession, videos: DataFrame): DataFrame = {
+    val docs = preprocess(videos)
+    LabelAlign.align(spark, tokenRows(spark, docs, "yt_id"),
+      spanRows(docs, "yt_id"))
+  }
+}

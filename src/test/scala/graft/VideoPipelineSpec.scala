@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{VideoPipeline, Vocab, Metrics}
+import graft.functions.TextFeatures
+import graft.sources.Tables
+
+/** Reference-shaped offline pipeline stages (SURVEY.md §3.2) + vocab +
+  * argmax + sources coverage. */
+class VideoPipelineSpec extends SparkSuite {
+
+  private lazy val videos = {
+    import spark.implicits._
+    Seq(
+      ("v1", "ja", "Senbonzakura cover", "sung by Miku",
+        "MikuFan",
+        Seq((0, 12, "title", "Senbonzakura", "TITLE"),
+          (8, 12, "description", "Miku", "VOCALOID"))))
+      .toDF("yt_id", "language", "title", "description", "channel_name", "ner0")
+      .withColumn("ner", transform(col("ner0"), n => struct(
+        n.getField("_1").as("start"), n.getField("_2").as("end"),
+        n.getField("_3").as("source"), n.getField("_4").as("entry"),
+        n.getField("_5").as("type"))))
+      .drop("ner0")
+  }
+
+  test("P2: doc text concat + description-span shift by len(title)+7") {
+    val doc = VideoPipeline.preprocess(videos).head()
+    val text = doc.getAs[String]("text")
+    assert(text == "Senbonzakura cover [SEP] sung by Miku")
+    val ner = doc.getSeq[org.apache.spark.sql.Row](doc.fieldIndex("ner"))
+    val title = ner.find(_.getAs[String]("type") == "TITLE").get
+    val voc = ner.find(_.getAs[String]("type") == "VOCALOID").get
+    assert(title.getAs[Int]("start") == 0 && title.getAs[Int]("end") == 12)
+    // shift = len("Senbonzakura cover") + 7 = 25
+    assert(voc.getAs[Int]("start") == 33 && voc.getAs[Int]("end") == 37)
+    assert(text.substring(33, 37) == "Miku")
+  }
+
+  test("full training prep: tokenize + D8 alignment produces correct labels") {
+    val out = VideoPipeline.prepare(spark, videos)
+      .orderBy("pos").collect().map(r => r.getInt(2))
+    // tokens: Senbonzakura(TITLE=2) cover(O) [ ( SEP(O) ] ) sung by Miku(VOCALOID=4)
+    assert(out.contains(2) && out.contains(4))
+    assert(out.count(_ == 2) == 1) // only the first TITLE word
+  }
+
+  test("A1/J5: vocab build deterministic ids; encode with OOV=1") {
+    import spark.implicits._
+    val docs = Seq(Seq("b", "a", "b", "c"), Seq("b", "a", "zzz"))
+      .toDF("tokens")
+    val v = Vocab.build(docs, "tokens", size = 2)
+    val ids = v.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ids == Map("b" -> 2, "a" -> 3)) // count desc, word asc; ids from 2
+    val enc = Vocab.encode(spark, docs, "tokens", v)
+      .select("ids").as[Seq[Int]].collect()
+    assert(enc(0) == Seq(2, 3, 2, 1)) // c -> OOV 1
+    assert(enc(1) == Seq(2, 3, 1))
+  }
+
+  test("F14 argmax: first max wins (np.argmax semantics)") {
+    import spark.implicits._
+    val df = Seq(Seq(0.1, 0.9, 0.9, 0.2)).toDF("scores")
+    assert(df.select(TextFeatures.argmaxCol(col("scores"))).head.getInt(0) == 1)
+  }
+
+  test("O2 length-sorted shuffle is deterministic given the seed") {
+    import spark.implicits._
+    val df = Seq(Seq(1, 2, 3), Seq(1), Seq(1, 2)).toDF("xs")
+    val a = Metrics.lengthSortedShuffle(df, "xs").collect().toSeq
+    val b = Metrics.lengthSortedShuffle(df, "xs").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getSeq[Int](0).size) == Seq(1, 2, 3))
+  }
+
+  test("S2/S3: JSON round-trip with explicit schema; parquet drift check") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tbl").toString
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    Tables.writeJson(df, s"$dir/j")
+    val back = Tables.readJson(spark, s"$dir/j", df.schema)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+    df.write.parquet(s"$dir/p")
+    assert(Tables.readParquet(spark, s"$dir/p", Some(df.schema)).count() == 2)
+    intercept[IllegalArgumentException] {
+      Tables.readParquet(spark, s"$dir/p",
+        Some(new org.apache.spark.sql.types.StructType()
+          .add("wrong", "string")))
+    }
+  }
+}
