@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.PyText
+import graft.operators.{Decode, Detector, GreedyDedup}
+import graft.Schemas.Token
+
+/** Property tests (SURVEY.md §5.2-3): invariants over random inputs,
+  * including astral-plane and CJK codepoints. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic scalacheck sampling (no scalatestplus bridge in the
+    * offline cache): 200 seeded samples per property. */
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b))(t => f(t._1, t._2))
+
+  // text generator mixing ASCII, CJK, Hungarian accents, astral chars, ws
+  private val charGen: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\n", "\t", "　"),
+    1 -> Gen.oneOf("夜", "駆", "á", "ő", "ﾞ", "【", "】", "(", ")", "\""),
+    1 -> Gen.oneOf("🎵", "🎸", "𝄞"),
+    1 -> Gen.oneOf(".", "!", ",", "#", "/"))
+  private val textGen: Gen[String] =
+    Gen.listOf(charGen).map(_.mkString).map(_.take(200))
+
+  test("tokenizer: offsets slice back to tokens; tokens ordered, non-overlapping") {
+    forAll(textGen) { text =>
+      val toks = PyText.tokenizeWithOffsets(text)
+      toks.foreach(t => assert(text.substring(t.start, t.end) == t.tok))
+      toks.sliding(2).foreach {
+        case Array(a, b) => assert(a.end <= b.start)
+        case _ =>
+      }
+      // filter semantics: no token is pure whitespace except "\n"
+      toks.foreach(t => assert(t.tok == "\n" || !PyText.pyIsSpace(t.tok)))
+    }
+  }
+
+  test("tokenizer: concatenation of tokens + dropped whitespace = original") {
+    forAll(textGen) { text =>
+      // every non-space codepoint of the input appears in some token
+      val tokChars = PyText.tokenizeWithOffsets(text)
+        .flatMap(t => (t.start until t.end)).toSet
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        val s = text.substring(i, i + Character.charCount(cp))
+        if (!(s == "\n" || PyText.pyIsSpace(s)) || s == "\n") {
+          // "\n" is kept; other whitespace dropped; everything else kept
+        }
+        if (!PyText.pyIsSpace(s) || s == "\n")
+          assert((i until i + Character.charCount(cp)).forall(tokChars.contains),
+            s"codepoint at $i ($s) lost")
+        i += Character.charCount(cp)
+      }
+    }
+  }
+
+  test("UTF-16 <-> codepoint index bijection on random unicode") {
+    forAll(textGen) { text =>
+      val nCp = text.codePointCount(0, text.length)
+      (0 to nCp).foreach { cp =>
+        val u16 = PyText.cpToUtf16(text, cp)
+        assert(PyText.utf16ToCp(text, u16) == cp)
+      }
+    }
+  }
+
+  test("decode: spans non-overlapping, ordered, never tagged O, text slices match") {
+    val tagGen = Gen.listOf(Gen.oneOf("O", "O", "TITLE", "VOCALOID", "ALBUM"))
+    forAll2(textGen, tagGen) { (text, rawTags) =>
+      val toks = PyText.tokenizeWithOffsets(text).toIndexedSeq
+      val tags = toks.indices.map(i =>
+        if (i < rawTags.length) rawTags(i) else "O")
+      val ents = Decode.decodeEntities(text, toks, tags)
+      ents.foreach { e =>
+        assert(e.tag != "O")
+        assert(e.text == text.substring(e.start, e.end))
+      }
+      ents.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end <= b.start || a.start <= b.start)
+        case _ =>
+      }
+      // count parity: entities == number of maximal non-O same-tag runs
+      val runs = tags.foldLeft(List.empty[String]) {
+        case (acc, t) if t == "O" => if (acc.headOption.contains("O")) acc else "O" :: acc
+        case (acc, t) => if (acc.headOption.contains(t)) acc else t :: acc
+      }.count(_ != "O")
+      assert(ents.size == runs)
+    }
+  }
+
+  test("dedup: output subset of input, order preserved, pairwise lev > 3 (post-tfidf)") {
+    val entGen = Gen.listOf(Gen.oneOf("Senbonzakura", "Senbonzakura!",
+      "Melt", "Meltt", "World is Mine", "Ghost Rule", "xx", ""))
+    forAll(entGen) { ents =>
+      val out = GreedyDedup.filterUniqueEntities(ents)
+      // subset + order preserved
+      assert(out.toSet.subsetOf(ents.toSet))
+      val positions = out.map(ents.indexOf)
+      assert(positions == positions.sorted)
+      // pairwise Levenshtein > 3 among kept
+      for (i <- out.indices; j <- i + 1 until out.size)
+        assert(PyText.levenshtein(out(i), out(j)) > 3,
+          s"${out(i)} ~ ${out(j)}")
+    }
+  }
+
+  test("detector tags are deterministic and independent of prior calls") {
+    val model = Detector.buildModel()
+    forAll(textGen) { text =>
+      val toks = PyText.tokenizeWithOffsets(text)
+      val a = Detector.tagTokens(model, text, toks).toSeq
+      val b = Detector.tagTokens(model, text, toks).toSeq
+      assert(a == b)
+      assert(a.length == toks.length)
+    }
+  }
+}
