@@ -67,6 +67,12 @@ object Bench {
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)
+    // session warm-up so the first timed query doesn't absorb parquet
+    // reader + codegen + scheduler initialization (~5s of fixed cost)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count())
       catch { case _: Throwable => -1.0 }

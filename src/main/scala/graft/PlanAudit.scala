@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q_ngram_jaccard", "q_embed_topk", "q_dedup_exact", "q_minhash_pairs")) {
+      println(s"===== $q =====")
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.take(3500))
+    }
+    spark.stop()
+  }
+}
