@@ -52,8 +52,13 @@ object Pipeline {
       Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
     }
     val triplesDf = stage(spark, ckptRoot, "triples", "conv_id", "linked") {
+      // coref is the one order-dependent wide stage -> salted: hot
+      // conversations fan out over size/chunkSize tasks with overlap
+      // context (equivalence pinned by ScaleSpec)
       Triples.triples(spark, decoded).toDF()
-        .unionByName(Coref.triples(spark, Coref.resolve(spark, decoded)).toDF())
+        .unionByName(Coref.triples(spark,
+          SkewSalting.corefSalted(spark, decoded, window = 5,
+            chunkSize = 10000)).toDF())
     }
     val canonDf = stage(spark, ckptRoot, "canon_map", "tag", "triples") {
       Canonicalize.canonicalMap(spark, linkedDf)
