@@ -97,7 +97,10 @@ object Bench {
       def job(): Long = Pipeline.extract(s,
         s.read.parquet(turnsPath).as[Schemas.Turn](
           Encoders.product[Schemas.Turn])).count()
-      job() // warm-up (codegen, JIT)
+      // warm-up (codegen, JIT) + determinism gate: every parallelism level
+      // must produce the identical triple count
+      require(job() == nTriples,
+        s"nondeterministic triple count at local[$n]")
       val times = (1 to 3).map(_ => time(job())).sorted
       s.stop()
       pinCpus(totalCores)

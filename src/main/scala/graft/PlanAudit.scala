@@ -7,6 +7,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    println("===== extract() object pipeline (must be fused, no Exchange) =====")
+    val t = synth.TranscriptGen.generate(spark, 5L)
+    println(Pipeline.extract(spark, t).queryExecution.executedPlan.toString)
     for (q <- Seq("q_ngram_jaccard", "q_embed_topk", "q_dedup_exact", "q_minhash_pairs")) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, d)
