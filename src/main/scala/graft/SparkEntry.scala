@@ -204,6 +204,10 @@ object SparkEntry {
         DocDedup.simhash(col("text")).as("sig"))),
     "q_embed_lsh_pairs" -> ((s, d) =>
       Similarity.lshCosinePairs(t(s, d, "embeddings"), threshold = 0.8)),
+    "q_embed_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      IvfIndex.ivfTopK(emb.where(col("vec_id") < 10), emb, 5)
+    }),
 
     // ---- KG pipeline on synthesized transcripts (rows-only checks)
     "q_kg_mentions" -> ((s, d) => {

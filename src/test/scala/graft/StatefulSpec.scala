@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.Schemas.Turn
+import graft.operators.{IvfIndex, Similarity}
+
+class StatefulSpec extends SparkSuite {
+
+  test("IVF top-k: valid ranking, reasonable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = IvfIndex.ivfTopK(queries, emb, 3, nCentroids = 8, nProbe = 3)
+      .collect()
+    assert(ivf.nonEmpty)
+    // ranking well-formed per query
+    ivf.groupBy(_.getAs[Long]("query_id")).values.foreach { ns =>
+      assert(ns.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to ns.length).toSeq)
+    }
+    val got = ivf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.2f (8 cells, 3 probes)")
+    assert(recall > 0.3, s"IVF recall $recall suspiciously low")
+  }
+
+  test("IVF training is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = IvfIndex.train(emb, 4, iters = 2).map(_.toSeq).toSeq
+    val b = IvfIndex.train(emb, 4, iters = 2).map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("stateful streaming coref resolves antecedents ACROSS micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    def turn(i: Int, text: String) =
+      Turn("c1", i, "user", text, null, new Timestamp(1767225600000L + i * 1000))
+    val q = graft.streaming.StatefulCoref.resolveStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("coref_out")
+      .outputMode("append").start()
+    // batch 1: the antecedent only
+    mem.addData(turn(0, "Melt is great"))
+    q.processAllAvailable()
+    assert(spark.table("coref_out").count() == 0)
+    // batch 2: the anaphor — must resolve via state carried across batches
+    mem.addData(turn(1, "honestly it deserves an award"))
+    q.processAllAvailable()
+    val links = spark.table("coref_out").collect()
+    q.stop()
+    assert(links.length == 1)
+    assert(links.head.getAs[String]("antecedent") == "Melt")
+    assert(links.head.getAs[Int]("turn_idx") == 1)
+  }
+}
