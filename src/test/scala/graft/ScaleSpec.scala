@@ -51,6 +51,28 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
   }
 
+  test("bucketed co-located join plans with NO shuffle exchange") {
+    import spark.implicits._
+    import graft.operators.Bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Bucketing.writeBucketed(a, "bkt_a", "k", 8)
+      Bucketing.writeBucketed(b, "bkt_b", "k", 8)
+      val j = Bucketing.colocatedJoin(spark, "bkt_a", "bkt_b", "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("Catalyst StaticInvoke/doGenCode expressions match the Scala semantics") {
     import spark.implicits._
     val df = Seq("o'neill's SONG", "miku's", "日本語 test", "Tavaszi Szél")
