@@ -26,7 +26,7 @@ object IcebergishTable {
       rows: Long)
   final case class Manifest(snapshotId: String, stage: String,
       parentSnapshot: String, rows: Long, partitions: Seq[PartitionLineage],
-      committed: Boolean)
+      committed: Boolean, wallMs: Long = 0L)
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -36,6 +36,7 @@ object IcebergishTable {
       .mkString("[", ",", "]")
     s"""{"snapshot_id":${q(m.snapshotId)},"stage":${q(m.stage)},""" +
       s""""parent_snapshot":${q(m.parentSnapshot)},"rows":${m.rows},""" +
+      s""""wall_ms":${m.wallMs},""" +
       s""""partitions":$parts,"committed":${m.committed}}"""
   }
 
@@ -56,6 +57,7 @@ object IcebergishTable {
    */
   def commit(spark: SparkSession, df: DataFrame, root: String, stage: String,
       keyCol: String, parentSnapshot: String = "none"): Manifest = {
+    val t0 = System.nanoTime()
     val out = dataPath(root, stage)
     val withPid = df.withColumn("__pid", spark_partition_id())
     withPid.persist()
@@ -71,8 +73,11 @@ object IcebergishTable {
     withPid.drop("__pid").write.mode("overwrite").parquet(out)
     withPid.unpersist()
     val rows = lineage.map(_.rows).sum
+    // per-stage metrics (SURVEY §7.6): rows + wall ms, per-partition rows
+    // and key ranges already carried by the lineage entries
     val m = Manifest(s"$stage-$rows-$parentSnapshot", stage, parentSnapshot,
-      rows, lineage, committed = true)
+      rows, lineage, committed = true,
+      wallMs = (System.nanoTime() - t0) / 1000000L)
     // write-then-rename: the manifest (visibility point) appears atomically
     val tmp = Paths.get(manifestPath(root, stage) + ".tmp")
     Files.createDirectories(tmp.getParent)
