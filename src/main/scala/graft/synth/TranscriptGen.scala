@@ -81,6 +81,14 @@ object TranscriptGen {
         "honestly it deserves an award",
         "I listened to that song all week",
         "it keeps looping in my head")), null)
+      case 9 => r.nextInt(3) match {
+        // adjacent same-tag titles: exercises the reference decode quirk
+        // (adjacent same-tag spans merge into ONE entity, src/prod.py:67-69)
+        case 0 => (s"$t $t medley by $a", null)
+        // quoted title: quote/paren context around entities
+        case 1 => (s""""$t" by $a ( official )""", null)
+        case _ => (filler(6 + r.nextInt(10)), null)
+      }
       case _ => (filler(6 + r.nextInt(10)), null)
     }
   }
