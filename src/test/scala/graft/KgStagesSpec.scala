@@ -73,6 +73,25 @@ class KgStagesSpec extends SparkSuite {
     assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
   }
 
+  test("alias-edge hot-block guard drops oversized blocks, keeps the rest") {
+    import spark.implicits._
+    // 300 surfaces sharing prefix+suffix ("xx...yy") -> one hot block pair;
+    // plus a small genuine alias pair elsewhere
+    val hot = (0 until 300).map(i => ("TITLE", f"xx$i%03dyy"))
+    val smallPair = Seq(("TITLE", "Senbonzakura"), ("TITLE", "Senbonzakura!"))
+    val forms = (hot ++ smallPair).toDF("tag", "surface")
+      .withColumn("n_mentions", org.apache.spark.sql.functions.lit(1L))
+    val edges = Canonicalize.aliasEdges(spark,
+      forms.select(col("tag"), col("surface")).groupBy("tag", "surface")
+        .agg(count(lit(1)).as("n_mentions")), maxBlockSize = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // hot block dropped: no xx...yy pairs despite lev <= 3 between many
+    assert(!edges.exists(_._1.contains("xx")), s"hot block leaked: ${edges.take(3).toSeq}")
+    // the small block still pairs
+    assert(edges.exists(e => e._1.contains("Senbonzakura") &&
+      e._2.contains("Senbonzakura")))
+  }
+
   test("checkpointed run is resumable and idempotent") {
     import spark.implicits._
     val root = Files.createTempDirectory("ckpt").toString
