@@ -209,6 +209,19 @@ object SparkEntry {
       IvfIndex.ivfTopK(emb.where(col("vec_id") < 10), emb, 5)
     }),
 
+    "q_predict_videos" -> ((s, d) => {
+      // the reference serving path (POST /predict) as a batch op over
+      // videos synthesized from transcript turns (rows-only check)
+      val turns = TranscriptGen.generate(s, 500L).toDF()
+      val videos = turns.where(col("turn_idx") < 2).groupBy("conv_id").agg(
+        min(when(col("turn_idx") === 0, col("text"))).as("title"),
+        min(when(col("turn_idx") === 1, col("text"))).as("description"))
+        .where(col("title").isNotNull && col("description").isNotNull)
+        .withColumn("yt_id", col("conv_id"))
+        .withColumn("channel_name", lit("GraftChannel"))
+      VideoPipeline.predict(s, videos)
+    }),
+
     // ---- KG pipeline on synthesized transcripts (rows-only checks)
     "q_kg_mentions" -> ((s, d) => {
       val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))

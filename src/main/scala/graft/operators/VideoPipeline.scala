@@ -75,4 +75,40 @@ object VideoPipeline {
     LabelAlign.align(spark, tokenRows(spark, docs, "yt_id"),
       spanRows(docs, "yt_id"))
   }
+
+  /**
+   * The serving-path equivalent (`POST /predict`, src/prod.py:220-237) as
+   * one batch DataFrame op: for each video, detect -> decode ->
+   * channel-name me-substitution (src/prod.py:119-125 — the reference
+   * substitutes `channel_name`, which maps onto the speaker slot of the
+   * turn decode) -> per-tag greedy dedup -> modifier normalize. Returns
+   * the structured result in long format
+   * `(yt_id, tag, entity)` — the scalable shape of the reference's
+   * per-tag dict (src/prod.py:127-143) — entirely row-local (no shuffle).
+   */
+  def predict(spark: SparkSession, videos: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = videos.select(col("yt_id"),
+      concat(col("title"), lit(" [SEP] "), col("description")).as("text"),
+      col("channel_name"))
+    val bc = spark.sparkContext.broadcast(Detector.buildModel())
+    docs.select("yt_id", "text", "channel_name")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val model = bc.value
+        it.flatMap { case (id, text, channel) =>
+          val toks = graft.functions.PyText.tokenizeWithOffsets(text)
+          val tags = Detector.tagTokens(model, text, toks)
+          val ents = Decode.meSubstitute(
+            Decode.decodeEntities(text,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(tags)),
+            if (channel == null) "" else channel)
+          Triples.structuredResult(ents).toSeq.flatMap { case (tag, es) =>
+            es.map(e => (id, tag, e))
+          }
+        }
+      }
+      .toDF("yt_id", "tag", "entity")
+  }
 }

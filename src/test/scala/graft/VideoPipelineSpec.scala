@@ -73,6 +73,40 @@ class VideoPipelineSpec extends SparkSuite {
     assert(a.map(_.getSeq[Int](0).size) == Seq(1, 2, 3))
   }
 
+  test("predict(): serving-path parity vs the reference oracle, channel me-sub") {
+    import spark.implicits._
+    import graft.functions.PyText
+    import graft.operators.Detector
+    val vids = Seq(
+      ("v1", "Senbonzakura covered by Hachi", "vocals by Hatsune Miku", "MikuFanChannel"),
+      ("v2", "Melt remixed by me", "from the album Re:Dial", "WowakaFan"),
+      ("v3", "random chatter", "nothing to see", "Nobody"))
+      .toDF("yt_id", "title", "description", "channel_name")
+    val got = VideoPipeline.predict(spark, vids).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // oracle: reference semantics per doc, channel_name as the speaker
+    val model = Detector.buildModel()
+    val expected = Seq(
+      ("v1", "Senbonzakura covered by Hachi", "vocals by Hatsune Miku", "MikuFanChannel"),
+      ("v2", "Melt remixed by me", "from the album Re:Dial", "WowakaFan"),
+      ("v3", "random chatter", "nothing to see", "Nobody"))
+      .flatMap { case (id, title, desc, channel) =>
+        val text = s"$title [SEP] $desc"
+        val toks = PyText.tokenizeWithOffsets(text).toIndexedSeq
+        val tags = Detector.tagTokens(model, text, toks.toArray).toIndexedSeq
+        val ents = ReferenceOracle.meSubstitute(
+          ReferenceOracle.decode(text, toks, tags), channel)
+        ReferenceOracle.structuredResult(ents).toSeq.flatMap { case (tag, es) =>
+          es.map(e => (id, tag, e))
+        }
+      }.toSet
+    assert(got == expected)
+    // the me-entity resolved to the channel name (reference src/prod.py:119-125)
+    assert(got.contains(("v2", "ORIGINAL_AUTHOR", "WowakaFan")))
+    assert(got.contains(("v2", "MODIFIER", "Remix"))) // lemma + title-case
+    assert(!got.exists(_._1 == "v3")) // no entities in chatter
+  }
+
   test("S2/S3: JSON round-trip with explicit schema; parquet drift check") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tbl").toString
