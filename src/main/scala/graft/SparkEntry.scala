@@ -112,6 +112,34 @@ object SparkEntry {
     "q_distinct_users" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"))),
+    "q_rollup" -> ((s, d) =>
+      // grouping-sets surface (free from Catalyst; SURVEY §2.4 note)
+      t(s, d, "events")
+        .withColumn("ubucket", col("user_id") % 3)
+        .rollup("event_type", "ubucket")
+        .agg(count(lit(1)).as("n"))),
+    "q_daily_counts" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("user_id").agg(sum("k").as("sum_k"))),
+    "q_median" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(round(median(col("value")), 2).as("med"))),
+    "q_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, d, "orders").select(col("o_custkey").as("k"))
+      c.intersect(o).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("intersect"))
+        .unionByName(c.except(o).agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("except")))
+        .unionByName(c.union(o).distinct().agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("union_distinct")))
+    }),
 
     // ---- text ops over documents (SURVEY §2.7, training-data ops)
     "q_doc_wordstats" -> ((s, d) =>
@@ -379,6 +407,33 @@ object SparkEntry {
            WHEN s_zh > 0 THEN 'zh'
            ELSE 'und' END AS lang_pred
          FROM sc""",
+    "q_rollup" ->
+      """SELECT event_type, ubucket, count(*) AS n FROM (
+           SELECT event_type, user_id % 3 AS ubucket FROM events)
+         GROUP BY ROLLUP(event_type, ubucket)""",
+    "q_daily_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY 1""",
+    "q_json_extract" ->
+      """SELECT user_id, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+         FROM events GROUP BY 1""",
+    "q_median" ->
+      """SELECT event_type, round(median(value), 2) AS med
+         FROM events GROUP BY 1""",
+    "q_set_ops" ->
+      """SELECT n, kind FROM (
+           SELECT count(*) AS n, 'intersect' AS kind FROM (
+             SELECT c_custkey AS k FROM customer
+             INTERSECT SELECT o_custkey FROM orders)
+           UNION ALL
+           SELECT count(*) AS n, 'except' AS kind FROM (
+             SELECT c_custkey AS k FROM customer
+             EXCEPT SELECT o_custkey FROM orders)
+           UNION ALL
+           SELECT count(*) AS n, 'union_distinct' AS kind FROM (
+             SELECT c_custkey AS k FROM customer
+             UNION SELECT o_custkey FROM orders))""",
     "q_confusion" ->
       """WITH s AS (SELECT doc_id, lang,
            string_split_regex(lower(text), '\s+') AS toks FROM documents),

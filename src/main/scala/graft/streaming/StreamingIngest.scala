@@ -39,6 +39,41 @@ object StreamingIngest {
       .as[Turn]
   }
 
+  /**
+   * Watermarked windowed aggregation: mention counts per tag per event-time
+   * window — the classic streaming-agg shape (late rows beyond the
+   * watermark are dropped; state is bounded by watermark eviction).
+   *
+   * Caveat: the watermark is attached to the post-extraction mention rows,
+   * so it only advances on batches that contain mentions — fine for real
+   * transcript streams (mentions are dense); a strictly-mention-free stream
+   * would hold windows open.
+   */
+  def windowedMentionCounts(spark: SparkSession, turns: Dataset[Turn],
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Detector.buildModel())
+    turns
+      .mapPartitions { it =>
+        val model = bc.value
+        it.flatMap { t =>
+          val toks = graft.functions.PyText.tokenizeWithOffsets(t.text)
+          val tags = Detector.tagTokens(model, t.text, toks)
+          Decode.decodeEntities(t.text,
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
+            .map(e => (t.conv_id, e.tag, t.ts))
+        }
+      }
+      .toDF("conv_id", "tag", "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("tag"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .select(col("window.start").as("w_start"), col("tag"),
+        col("n_mentions"))
+  }
+
   /** Sink triples as parquet with a streaming checkpoint. */
   def startParquetSink(triples: Dataset[Triple], outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -34,6 +34,42 @@ class StatefulSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("watermarked windowed mention counts aggregate by event-time window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    def turn(i: Int, text: String, minute: Int) =
+      Turn("c1", i, "user", text, null,
+        new Timestamp(1767225600000L + minute * 60000L))
+    // two windows: minutes 0-9 (two TITLE mentions) and 10-19 (one)
+    mem.addData(
+      turn(0, "Melt is great", 1),
+      turn(1, "Senbonzakura is better", 5),
+      turn(2, "Unravel tho", 12))
+    val q = graft.streaming.StreamingIngest
+      .windowedMentionCounts(spark, mem.toDS())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // append-mode windowed aggs only emit once the watermark passes the
+    // window end; the watermark itself advances at the END of a batch, so
+    // one batch pushes event time forward and the NEXT one emits
+    // NOTE: the watermark node sits downstream of mention extraction, so
+    // only mention-bearing rows advance it (documented in the operator)
+    mem.addData(turn(3, "Ghost Rule drops", 120))
+    q.processAllAvailable()
+    mem.addData(turn(4, "Ghost Rule again", 121))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    val w0 = 1767225600000L // window [0,10min)
+    val w1 = 1767225600000L + 600000L
+    assert(rows == Set((w0, "TITLE", 2L), (w1, "TITLE", 1L)))
+  }
+
   test("stateful streaming coref resolves antecedents ACROSS micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
