@@ -112,6 +112,18 @@ object SparkEntry {
     "q_distinct_users" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"))),
+    "q_asof_join" -> ((s, d) => {
+      // as-of join: each purchase matched to the user's most recent prior
+      // click (composed union+window — one shuffle, no theta join)
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_id")
+        .select(col("event_id"), col("click_id"))
+    }),
     "q_rollup" -> ((s, d) =>
       // grouping-sets surface (free from Catalyst; SURVEY §2.4 note)
       t(s, d, "events")
@@ -407,6 +419,13 @@ object SparkEntry {
            WHEN s_zh > 0 THEN 'zh'
            ELSE 'und' END AS lang_pred
          FROM sc""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click')
+         SELECT p.event_id, c.click_id
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q_rollup" ->
       """SELECT event_type, ubucket, count(*) AS n FROM (
            SELECT event_type, user_id % 3 AS ubucket FROM events)
