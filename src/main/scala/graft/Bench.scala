@@ -63,7 +63,7 @@ object Bench {
     // sized so the local[2] leg runs ~15s — short enough for the round
     // budget, long enough that fixed per-job overhead (codegen, scheduling)
     // doesn't pollute the N->4N efficiency measurement
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "200000").toLong
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)

@@ -73,6 +73,20 @@ class KgStagesSpec extends SparkSuite {
     assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
   }
 
+  test("nulls and empties flow through extract without errors") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    val turns = Seq(
+      Turn("c1", 0, null, null, null, ts), // null text AND role
+      Turn("c1", 1, "user", "", null, ts), // empty text
+      Turn("c1", 2, null, "Melt remixed by me", null, ts), // me-sub w/ null role
+      Turn("c1", 3, "user", "Melt by Hachi", null, ts)).toDS()
+    val triples = Pipeline.extract(spark, turns).collect()
+    assert(triples.exists(t => t.subj == "Melt" && t.obj == "Hachi"))
+    // null-role me-sub resolves to empty speaker, not a crash
+    assert(triples.forall(_.obj != null))
+  }
+
   test("alias-edge hot-block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     // 300 surfaces sharing prefix+suffix ("xx...yy") -> one hot block pair;
