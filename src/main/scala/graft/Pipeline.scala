@@ -31,6 +31,22 @@ object Pipeline {
     Decode.decode(spark, Detector.detect(spark, turns, bc))
   }
 
+  /** All mention sources unioned (SURVEY §7.2: gazetteer ∪ regex), deduped
+    * on the span identity (conv, turn, start, end, tag) — gazetteer wins
+    * on overlap by construction (regex source skips known surfaces). */
+  def mentionsAll(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Detector.buildModel())
+    val gaz = Decode.mentions(spark,
+      Decode.decode(spark, Detector.detect(spark, turns, bc)))
+    val rex = turns.mapPartitions { it =>
+      val model = bc.value
+      it.flatMap(t => Detector.regexMentions(model, t))
+    }
+    gaz.unionByName(rex)
+      .dropDuplicates("conv_id", "turn_idx", "start", "end", "tag")
+  }
+
   /** Full run with per-stage Icebergish checkpoints + lineage (north rule
     * resumability): a killed run re-invoked with the same `ckptRoot`
     * skips every stage whose committed snapshot exists. Returns
@@ -45,7 +61,7 @@ object Pipeline {
     }
     val decoded = decodedDf.as[DecodedTurn]
     val mentionsDf = stage(spark, ckptRoot, "mentions", "conv_id", "decoded") {
-      Decode.mentions(spark, decoded).toDF()
+      mentionsAll(spark, turns).toDF() // gazetteer ∪ regex sources
     }
     val linkedDf = stage(spark, ckptRoot, "linked", "conv_id", "mentions") {
       val dict = spark.sparkContext.broadcast(Linker.buildDict())

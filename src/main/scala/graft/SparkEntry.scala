@@ -265,7 +265,7 @@ object SparkEntry {
     // ---- KG pipeline on synthesized transcripts (rows-only checks)
     "q_kg_mentions" -> ((s, d) => {
       val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
-      Decode.mentions(s, Pipeline.decodeTurns(s, turns)).toDF()
+      Pipeline.mentionsAll(s, turns).toDF() // gazetteer ∪ regex sources
     }),
     "q_kg_triples" -> ((s, d) => {
       val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))

@@ -125,6 +125,37 @@ object Detector {
     tags
   }
 
+  private val quotedSpan = java.util.regex.Pattern.compile(
+    "[\"“]([^\"“”]{2,64})[\"”]")
+
+  /**
+   * Regex mention source (SURVEY.md §7.2: mention sources are UNIONED —
+   * gazetteer hits ∪ regex hits): a quoted span that is not already a
+   * gazetteer hit is an ALT_TITLE candidate (quoting is how transcripts
+   * introduce unknown titles). Lower confidence (0.6) than gazetteer
+   * mentions; row-local.
+   */
+  def regexMentions(model: Model, t: Turn): Seq[Mention] = {
+    if (t.text == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    val m = quotedSpan.matcher(t.text)
+    val lower = t.text.toLowerCase(java.util.Locale.ROOT)
+    while (m.find()) {
+      val inner = m.group(1).trim
+      val innerLower = inner.toLowerCase(java.util.Locale.ROOT)
+      // skip spans the gazetteer already covers (union, not duplicate)
+      val known = model.ac.findAllPacked(innerLower).exists { p =>
+        model.ac.patterns((p >>> 32).toInt) == innerLower
+      }
+      if (inner.nonEmpty && !known) {
+        val s = m.start(1); val e = m.end(1)
+        out += Mention(t.conv_id, t.turn_idx, "ALT_TITLE", inner, s, e,
+          "regex:quoted", 0.6)
+      }
+    }
+    out.toSeq
+  }
+
   /** turns -> tokenized + tagged turns (narrow; no shuffle). */
   def detect(spark: SparkSession, turns: Dataset[Turn],
       bc: Broadcast[Model]): Dataset[TaggedTurn] = {

@@ -73,6 +73,20 @@ class KgStagesSpec extends SparkSuite {
     assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
   }
 
+  test("mention-source union: quoted unknown spans become regex ALT_TITLE") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    val turns = Seq(
+      Turn("c1", 0, "user", "check \"Totally New Song\" tonight", null, ts),
+      Turn("c1", 1, "user", "also \"Senbonzakura\" of course", null, ts)).toDS()
+    val ms = Pipeline.mentionsAll(spark, turns).collect()
+    val rex = ms.filter(_.detector == "regex:quoted")
+    assert(rex.map(m => (m.tag, m.text)).toSeq ==
+      Seq(("ALT_TITLE", "Totally New Song"))) // known title NOT duplicated
+    assert(ms.exists(m => m.detector == "gazetteer:ac" &&
+      m.text == "Senbonzakura"))
+  }
+
   test("nulls and empties flow through extract without errors") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)
