@@ -7,6 +7,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    println(s"===== entry() smoke (driver t1): rows=${SparkEntry.entry(spark).count()} =====")
     println("===== extract() object pipeline (must be fused, no Exchange) =====")
     val t = synth.TranscriptGen.generate(spark, 5L)
     println(Pipeline.extract(spark, t).queryExecution.executedPlan.toString)
