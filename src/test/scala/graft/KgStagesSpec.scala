@@ -143,6 +143,22 @@ class KgStagesSpec extends SparkSuite {
       manifest.contains("key_min") && manifest.contains("parent_snapshot"))
   }
 
+  test("FULL pipeline (incl. canonicalization) deterministic under partitioning") {
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, 25L)
+    val r1 = java.nio.file.Files.createTempDirectory("det1").toString
+    val r2 = java.nio.file.Files.createTempDirectory("det2").toString
+    val (t1, n1, e1) = Pipeline.runCheckpointed(spark, turns, r1)
+    val (t2, n2, e2) = Pipeline.runCheckpointed(spark,
+      turns.repartition(11), r2)
+    assert(t1.collect().map(_.toString).sorted.toSeq ==
+      t2.collect().map(_.toString).sorted.toSeq)
+    assert(n1.collect().map(_.toString).sorted.toSeq ==
+      n2.collect().map(_.toString).sorted.toSeq)
+    assert(e1.collect().map(_.toString).sorted.toSeq ==
+      e2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("edges resolve endpoints onto typed node ids") {
     import spark.implicits._
     val turns = TranscriptGen.generate(spark, 30L)
