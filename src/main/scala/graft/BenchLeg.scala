@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * One scaling-bench leg, run in its OWN JVM (spawned by [[Bench]]):
+ * `java -XX:ActiveProcessorCount=n -Xmx(heap∝n) ... graft.BenchLeg
+ * <turnsPath> <n> <expectedTriples>` under `taskset -c 0-(n-1)`.
+ *
+ * Why a fresh JVM per leg: a JVM whose GC/JIT thread pools were sized
+ * for 32 cores collapses when its threads are later pinned onto 2 cores
+ * (round-1 evidence: the in-process 2-core leg measured 103.8s vs ~11s
+ * in a correctly-sized JVM — a physically impossible implied 2->8
+ * efficiency of 6.7). ActiveProcessorCount + launch-time affinity means
+ * every pool is born the right size, and heap scales with cores exactly
+ * as a real N-executor -> 4N-executor cluster scales memory.
+ *
+ * Prints one line `BENCHLEG n=<n> times=<t1,t2,t3> best=<sec>`; the
+ * parent parses `best` (min of 3 timed runs after a warm-up — min is
+ * the contention-robust estimator: a shared box can only ever ADD time).
+ */
+object BenchLeg {
+  def main(args: Array[String]): Unit = {
+    val Array(turnsPath, nStr, expectStr) = args
+    val n = nStr.toInt
+    val expected = expectStr.toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(s"graft-bench-leg-$n")
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1 << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.Encoders
+    def job(): Long = Pipeline.extract(spark,
+      spark.read.parquet(turnsPath).as[Schemas.Turn](
+        Encoders.product[Schemas.Turn])).count()
+    // warm-up (codegen/JIT) doubling as the determinism gate: every
+    // parallelism level must produce the identical triple count
+    require(job() == expected, s"nondeterministic triple count at local[$n]")
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }
+    spark.stop()
+    println(s"BENCHLEG n=$n times=${times.map(t => f"$t%.3f").mkString(",")}" +
+      f" best=${times.min}%.3f")
+  }
+}

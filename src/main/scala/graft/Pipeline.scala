@@ -34,11 +34,18 @@ object Pipeline {
   /** All mention sources unioned (SURVEY §7.2: gazetteer ∪ regex), deduped
     * on the span identity (conv, turn, start, end, tag) — gazetteer wins
     * on overlap by construction (regex source skips known surfaces). */
-  def mentionsAll(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] = {
+  def mentionsAll(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] =
+    mentionsFromDecoded(spark, decodeTurns(spark, turns), turns)
+
+  /** mentionsAll over ALREADY-DECODED turns (e.g. the `decoded`
+    * checkpoint) — the gazetteer mentions fall out of the decode result,
+    * so detection is not re-run; only the (cheap) regex source scans the
+    * raw turns again. */
+  def mentionsFromDecoded(spark: SparkSession, decoded: Dataset[DecodedTurn],
+      turns: Dataset[Turn]): Dataset[Mention] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
-    val gaz = Decode.mentions(spark,
-      Decode.decode(spark, Detector.detect(spark, turns, bc)))
+    val gaz = Decode.mentions(spark, decoded)
     val rex = turns.mapPartitions { it =>
       val model = bc.value
       it.flatMap(t => Detector.regexMentions(model, t))
@@ -61,7 +68,9 @@ object Pipeline {
     }
     val decoded = decodedDf.as[DecodedTurn]
     val mentionsDf = stage(spark, ckptRoot, "mentions", "conv_id", "decoded") {
-      mentionsAll(spark, turns).toDF() // gazetteer ∪ regex sources
+      // gazetteer ∪ regex sources; gazetteer mentions are DERIVED from the
+      // decoded checkpoint — detection is not re-run for this stage
+      mentionsFromDecoded(spark, decoded, turns).toDF()
     }
     val linkedDf = stage(spark, ckptRoot, "linked", "conv_id", "mentions") {
       val dict = spark.sparkContext.broadcast(Linker.buildDict())

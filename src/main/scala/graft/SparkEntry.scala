@@ -47,12 +47,11 @@ object SparkEntry {
           countDistinct("o_orderkey").as("n_orders"))
     }),
     "q_topk_customers" -> ((s, d) => {
-      // top-K with deterministic tiebreak (SURVEY §2.6 O3)
+      // top-K with deterministic tiebreak (SURVEY §2.6 O3) —
+      // limit-then-rank (TakeOrderedAndProject), never a global window
       val rev = t(s, d, "orders").groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      rev.withColumn("rank", row_number().over(
-        Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
-        .where(col("rank") <= 10)
+      TopK.ranked(rev, 10, Seq(col("revenue").desc, col("o_custkey").asc))
     }),
     "q_semi_join" -> ((s, d) =>
       t(s, d, "customer").join(t(s, d, "orders"),
@@ -162,25 +161,35 @@ object SparkEntry {
         round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_len"),
         round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"))),
     "q_vocab_topk" -> ((s, d) => {
-      // A1: vocabulary build, frequency top-K, deterministic ids
+      // A1: vocabulary build, frequency top-K, deterministic ids —
+      // limit-then-rank (TakeOrderedAndProject), never a global window
       val words = t(s, d, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .where(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      words.withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)))
-        .where(col("rank") <= 20)
+      TopK.ranked(words, 20, Seq(col("cnt").desc, col("word").asc))
     }),
     "q_word_pairs_lev" -> ((s, d) => {
-      // F11 built-in levenshtein over the distinct vocabulary
+      // F11 built-in levenshtein over the distinct vocabulary.
+      // dist <= 2 bounds the length delta to 2, so the self-join is
+      // BLOCKED by length: one side explodes to its 5 admissible partner
+      // lengths and the join is a plain equi-join — each qualifying pair
+      // meets exactly once (word_b carries a single length), so no
+      // distinct needed, and no CartesianProduct at any corpus size
+      // (plan audited by ScaleSpec).
       val words = t(s, d, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .where(col("w") =!= "").distinct()
-      words.select(col("w").as("word_a"))
-        .crossJoin(words.select(col("w").as("word_b")))
+      val a = words.select(col("w").as("word_a"),
+        explode(sequence(length(col("w")) - 2, length(col("w")) + 2))
+          .as("lk"))
+      val b = words.select(col("w").as("word_b"),
+        length(col("w")).as("lk"))
+      a.join(b, "lk")
         .where(col("word_a") < col("word_b"))
         .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
         .where(col("dist") <= 2)
+        .select("word_a", "word_b", "dist")
     }),
     "q_dedup_exact" -> ((s, d) => DocDedup.exact(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) =>
@@ -190,10 +199,23 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
     "q_tokenize_count" -> ((s, d) => {
+      // the documents corpus is ASCII (whitespace-split oracle suffices
+      // there), so CJK / astral / fullwidth fixture rows are unioned in
+      // with CPython-precomputed expected counts in the oracle — a
+      // tokenizer regression on the hard cases now turns this gate red
+      import s.implicits._
       val tokCount = udf((text: String) =>
         graft.functions.PyText.tokenize(text).length)
-      t(s, d, "documents").select(col("doc_id"),
-        tokCount(col("text")).as("n_graft_tokens"))
+      val hard = Seq(
+        (1000001L, "日本語のテストです。トークン化は正しいか？"),
+        (1000002L, "Tavaszi Szél vizet áraszt 🎵 héj!"),
+        (1000003L, "初音ミク sings 千本桜 feat. KAITO!!"),
+        (1000004L, "astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕖𝕩𝕥 and ｆｕｌｌｗｉｄｔｈ１２３"),
+        (1000005L, "line\nbreak\tkept?  double  space")
+      ).toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(hard)
+        .select(col("doc_id"), tokCount(col("text")).as("n_graft_tokens"))
     }),
     "q_ngram_jaccard" -> ((s, d) =>
       DocDedup.ngramJaccardPairs(
@@ -286,7 +308,31 @@ object SparkEntry {
       val dict = s.sparkContext.broadcast(Linker.buildDict())
       val linked = Linker.link(s,
         Decode.mentions(s, Pipeline.decodeTurns(s, turns)), dict).toDF()
+      // scalar columns only: the driver's rows-only pandas check cannot
+      // sort an array<string> column, so the alias list is flattened
       Canonicalize.nodes(s, Canonicalize.canonicalMap(s, linked)).toDF()
+        .select(col("node_id"), col("canonical"), col("type"),
+          concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
+    }),
+    "q_kg_pred_counts" -> ((s, d) => {
+      // driver-checkable KG gate: per-predicate triple counts, compared
+      // against VALUES literals computed by the INDEPENDENT
+      // ReferenceOracle transcription of src/prod.py:32-213
+      // (graft.tools.KgOracleDump asserts engine == oracle before the
+      // literals are embedded; pinned to the Verify scale, sf0.01)
+      val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
+      Pipeline.extract(s, turns).toDF()
+        .groupBy("pred").agg(count(lit(1)).as("n"))
+    }),
+    "q_kg_triples_sample" -> ((s, d) => {
+      // value-level hash gate on the flagship KG output: first 50 triples
+      // in (conv_id, turn_idx, subj, pred, obj) order, same
+      // ReferenceOracle-minted VALUES oracle as q_kg_pred_counts
+      val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
+      Pipeline.extract(s, turns).toDF()
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
+        .limit(50)
     })
   )
 
@@ -328,7 +374,7 @@ object SparkEntry {
            ORDER BY event_id), 2) AS delta
          FROM events""",
     "q_sessionize" ->
-      """SELECT user_id, sum(new_s) AS n_sessions FROM (
+      """SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM (
            SELECT user_id,
              CASE WHEN es - lag(es) OVER (PARTITION BY user_id
                ORDER BY event_id) > 1800 OR lag(es) OVER (PARTITION BY
@@ -340,8 +386,9 @@ object SparkEntry {
       """SELECT user_id, seg, event_type, count(*) AS n_events,
          min(event_id) AS min_event, max(event_id) AS max_event FROM (
            SELECT user_id, event_type, event_id,
-             sum(changed) OVER (PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+             (sum(changed) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS seg
            FROM (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY
              user_id ORDER BY event_id) IS DISTINCT FROM event_type
              THEN 1 ELSE 0 END AS changed FROM events))
@@ -435,7 +482,8 @@ object SparkEntry {
          round(sum(value), 2) AS total
          FROM events GROUP BY 1""",
     "q_json_extract" ->
-      """SELECT user_id, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+      """SELECT user_id, sum(json_extract(props, '$.k')::BIGINT)::BIGINT
+           AS sum_k
          FROM events GROUP BY 1""",
     "q_median" ->
       """SELECT event_type, round(median(value), 2) AS med
@@ -487,7 +535,10 @@ object SparkEntry {
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> ''))
            AS n_graft_tokens
-         FROM documents""",
+         FROM documents
+         UNION ALL
+         SELECT * FROM (VALUES (1000001, 4), (1000002, 11), (1000003, 5),
+           (1000004, 14), (1000005, 7)) AS h(doc_id, n_graft_tokens)""",
     "q_ngram_jaccard" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, sh FROM (
@@ -526,6 +577,70 @@ object SparkEntry {
          64 + (ascii(substr(text, 1, 1)) % 64) * 16 AS width,
          CASE ascii(substr(text, 1, 1)) % 4 WHEN 0 THEN 'jpeg'
            WHEN 1 THEN 'png' WHEN 2 THEN 'webp' ELSE 'bin' END AS format
-         FROM documents"""
+         FROM documents""",
+    // KG gates: expected values minted by graft.tools.KgOracleDump from
+    // the independent ReferenceOracle transcription at sf0.01 (the
+    // driver's Verify scale). Not derived from the engine.
+    "q_kg_pred_counts" ->
+      """SELECT pred, n::BIGINT AS n FROM (VALUES
+  ('alt_title', 1807),
+  ('featuring', 1780),
+  ('mentions_person', 1794),
+  ('modifier', 5389),
+  ('on_album', 3451),
+  ('performed_by', 11837),
+  ('vocal_by', 3616)) AS t(pred, n)""",
+    "q_kg_triples_sample" ->
+      """SELECT * FROM (VALUES
+  ('conv00000000', 0, 'Unravel', 'modifier', 'Cover'),
+  ('conv00000000', 0, 'Unravel', 'performed_by', 'Velvet Cogs'),
+  ('conv00000000', 3, 'Lemon', 'modifier', 'Arrange'),
+  ('conv00000000', 3, 'Lemon', 'performed_by', '米津玄師'),
+  ('conv00000000', 4, 'Winter Meteor', 'performed_by', '米津玄師'),
+  ('conv00000000', 4, 'Winter Meteor', 'vocal_by', 'Majiko'),
+  ('conv00000000', 7, 'Tavaszi Szél', 'alt_title', 'Spring Wind'),
+  ('conv00000000', 7, 'Tavaszi Szél', 'vocal_by', 'KAITO'),
+  ('conv00000000', 8, 'Neon Genesis Lament', 'modifier', 'Cover'),
+  ('conv00000000', 8, 'Neon Genesis Lament', 'performed_by', 'Stellar Dustworks'),
+  ('conv00000000', 9, 'Lemon', 'alt_title', 'Yoru ni Kakeru'),
+  ('conv00000000', 9, 'Lemon', 'vocal_by', 'Kasane Teto'),
+  ('conv00000000', 11, 'Paper Moon Waltz', 'on_album', 'Bootleg'),
+  ('conv00000000', 11, 'Paper Moon Waltz', 'performed_by', 'Velvet Cogs'),
+  ('conv00000000', 12, 'Tavaszi Szél', 'performed_by', 'DECO*27'),
+  ('conv00000000', 12, 'Tavaszi Szél', 'vocal_by', 'Reol'),
+  ('conv00000000', 13, 'Silent Vermilion', 'featuring', 'Charlie Nox'),
+  ('conv00000000', 13, 'Silent Vermilion', 'on_album', 'Mikunopolis'),
+  ('conv00000000', 15, 'Kék Duna Keringő', 'performed_by', 'assistant'),
+  ('conv00000000', 15, 'conv00000000#15', 'mentions_person', 'Ryo Watanabe'),
+  ('conv00000000', 17, 'Gurenge', 'modifier', 'Arrange'),
+  ('conv00000000', 17, 'Gurenge', 'performed_by', 'Mitchie M'),
+  ('conv00000000', 18, 'Sakura Fubuki', 'featuring', 'Rin Orbit'),
+  ('conv00000000', 18, 'Sakura Fubuki', 'on_album', 'Hungarian Dances Vol 3'),
+  ('conv00000000', 19, 'Last Train Home', 'alt_title', 'Yoru ni Kakeru'),
+  ('conv00000000', 19, 'Last Train Home', 'vocal_by', 'Kagamine Rin'),
+  ('conv00000000', 20, '夜に駆ける', 'performed_by', '米津玄師'),
+  ('conv00000000', 20, '夜に駆ける', 'vocal_by', 'Ado'),
+  ('conv00000000', 21, 'Lemon Rolling Girl', 'performed_by', '中田ヤスタカ'),
+  ('conv00000000', 22, 'Glass Aquarium', 'performed_by', 'user'),
+  ('conv00000000', 22, 'conv00000000#22', 'mentions_person', 'Peter Molnar'),
+  ('conv00000000', 23, 'Senbonzakura', 'modifier', 'Arrange'),
+  ('conv00000000', 23, 'Senbonzakura', 'performed_by', 'Liszt Ferenc'),
+  ('conv00000000', 24, 'うっせぇわ', 'modifier', 'Arrange'),
+  ('conv00000000', 24, 'うっせぇわ', 'performed_by', 'Mitchie M'),
+  ('conv00000000', 25, 'Hollow Cathedral', 'performed_by', 'wowaka'),
+  ('conv00000000', 25, 'Hollow Cathedral', 'vocal_by', 'Soraru'),
+  ('conv00000000', 27, 'World is Mine', 'alt_title', 'Racing into the Night'),
+  ('conv00000000', 27, 'World is Mine', 'vocal_by', 'Kasane Teto'),
+  ('conv00000000', 28, '群青', 'featuring', 'MC Paprika'),
+  ('conv00000000', 28, '群青', 'on_album', 'Bootleg'),
+  ('conv00000000', 31, 'Lemon', 'performed_by', 'wowaka'),
+  ('conv00000000', 32, 'Tavaszi Szél', 'performed_by', '中田ヤスタカ'),
+  ('conv00000000', 32, 'Tavaszi Szél', 'vocal_by', 'Palotás Anna'),
+  ('conv00000000', 33, 'Clockwork Lullaby', 'modifier', 'Cover'),
+  ('conv00000000', 33, 'Clockwork Lullaby', 'performed_by', 'Neru'),
+  ('conv00000000', 34, 'Marble Soda Sky', 'on_album', 'Unhappy Refrain'),
+  ('conv00000000', 34, 'Marble Soda Sky', 'performed_by', 'Kenshi Yonezu'),
+  ('conv00000000', 35, 'Paper Moon Waltz', 'modifier', 'Cover'),
+  ('conv00000000', 35, 'Paper Moon Waltz', 'performed_by', 'wowaka')) AS t(conv_id, turn_idx, subj, pred, obj)"""
   )
 }

@@ -36,8 +36,13 @@ object AsOfJoin {
         .map(c => left(c))): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE left rows at equal time (side 0 < 1), so a
-    // same-instant right row is visible to the left row (<= semantics)
-    val w = Window.partitionBy(col(key)).orderBy(col(time).asc, col("__side").asc)
+    // same-instant right row is visible to the left row (<= semantics).
+    // __p breaks ties between right rows sharing (key, time): last(...)
+    // then deterministically picks the MAX payload at the tied instant
+    // regardless of partitioning/run (left rows carry null __p, which
+    // sorts first under asc and never reorders across sides).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(payload, last(col("__p"), ignoreNulls = true).over(w))

@@ -40,69 +40,162 @@ object DocDedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** Exact pairwise n-gram Jaccard >= threshold, via shared-shingle join.
-    * Returns (doc_a, doc_b, jaccard). Only pairs sharing a shingle are
-    * ever materialized (inverted-index join, not cross join). */
+  /** Sorted distinct 64-bit shingle hashes, as ONE scalar closure over
+    * the shingle string array (two murmur3 seeds -> effectively injective
+    * on any real corpus, so hash-set Jaccard == string-set Jaccard). A
+    * UDF, not a Column expression, on purpose: verification pairs then
+    * ship 8-byte-per-shingle primitive arrays instead of string arrays,
+    * and intersection is a linear merge over the sorted halves. */
+  def shingleHashes(shingleStrings: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val f = udf { (sh: Seq[String]) =>
+      if (sh == null) null
+      else {
+        val out = new Array[Long](sh.length)
+        var i = 0
+        sh.foreach { s =>
+          out(i) = (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong
+            << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(s, 13).toLong
+              & 0xffffffffL)
+          i += 1
+        }
+        java.util.Arrays.sort(out)
+        out
+      }
+    }
+    f(shingleStrings)
+  }
+
+  /** Exact Jaccard of two SORTED long arrays via a single linear merge. */
+  def sortedJaccard(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = udf { (xs: Seq[Long], ys: Seq[Long]) =>
+      if (xs == null || ys == null || (xs.isEmpty && ys.isEmpty)) 0.0
+      else {
+        val (ax, ay) = (xs.toArray, ys.toArray)
+        var i = 0; var j = 0; var inter = 0
+        while (i < ax.length && j < ay.length) {
+          if (ax(i) == ay(j)) { inter += 1; i += 1; j += 1 }
+          else if (ax(i) < ay(j)) i += 1
+          else j += 1
+        }
+        inter.toDouble / (ax.length + ay.length - inter)
+      }
+    }
+    round(f(a, b), 6)
+  }
+
+  /**
+   * Exact pairwise n-gram Jaccard >= threshold. Candidate pairs come from
+   * a shared-shingle equi-join (inverted index, never a cross join);
+   * every candidate is then verified with exact Jaccard over the FULL
+   * sorted shingle-hash arrays, so the df guard below cannot change a
+   * reported value. Returns (doc_a, doc_b, jaccard).
+   *
+   * `maxShingleDf`: a shingle appearing in m docs contributes m^2
+   * candidate pairs — a stopword shingle ("the cat sat") with df=10^6
+   * would alone produce 10^12 pairs at corpus scale. Shingles with
+   * df > maxShingleDf are dropped from CANDIDATE GENERATION only (same
+   * hot-block pattern as Canonicalize.aliasEdges) and the drop is logged;
+   * a qualifying pair (jaccard >= 0.5 shares half its shingles) is missed
+   * only if every one of its shared shingles is stopword-frequent.
+   */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
       .where(col("sh") =!= "")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"), Seq("sh"))
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hot = dfs.where(col("df") > maxShingleDf)
+    val nHot = hot.count()
+    if (nHot > 0) {
+      val top = hot.orderBy(col("df").desc).take(5)
+        .map(r => s"'${r.getString(0)}'(${r.getLong(1)})").mkString(", ")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccardPairs: dropping $nHot shingles with df > " +
+          s"$maxShingleDf from candidate generation: $top")
+    }
+    val shCold = sh.join(dfs.where(col("df") <= maxShingleDf).select("sh"),
+      "sh")
+    val cands = shCold.as("a").join(shCold.as("b"), Seq("sh"))
       .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(documents, cands, k, threshold)
+  }
+
+  /** Join candidate (doc_a, doc_b) pairs back to their sorted
+    * shingle-hash arrays and keep exact jaccard >= threshold. */
+  private def verifyJaccard(documents: DataFrame, cands: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val shh = documents.select(col("doc_id"),
+      shingleHashes(shingles(col("text"), k)).as("shh"))
+    cands
+      .join(shh.select(col("doc_id").as("doc_a"), col("shh").as("sha")),
+        "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"), col("shh").as("shb")),
+        "doc_b")
+      .withColumn("jaccard", sortedJaccard(col("sha"), col("shb")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   private val MinhashP = 2147483647L // 2^31 - 1
 
-  /** Seeded affine MinHash over a PRE-MATERIALIZED shingle-hash array
-    * column (hash each shingle once; the 32 permutations then reuse it —
-    * without this the shingle set is recomputed per hash function and the
-    * stage goes ~20x slower). */
+  /** Seeded affine MinHash over a sorted shingle-hash array: for hash i,
+    * min over shingles of ((a_i * h + b_i) mod p). ONE closure computing
+    * all numHashes mins in a single pass over the primitive array — the
+    * pure-Column form (numHashes x array_min(transform(...)) over the
+    * same array) duplicates the shingle pipeline into every min once
+    * CollapseProject inlines it, blowing up generated code and falling
+    * out of whole-stage codegen (measured: the 500-doc q_minhash_pairs
+    * leg went 46.8s -> ~1s with the closure; same failure mode as
+    * Similarity.lshSignature). */
   def minhashFromHashes(shHashes: org.apache.spark.sql.Column,
       numHashes: Int): org.apache.spark.sql.Column = {
-    val hs = (0 until numHashes).map { i =>
-      val a = 1L + 2L * ((i * 0x9E3779B9L + 0x85EBCA6BL) % 1000000007L % (MinhashP / 2))
-      val b = (i * 0xC2B2AE35L + 0x27D4EB2FL) % MinhashP
-      coalesce(
-        array_min(transform(shHashes, h => pmod(h * a + b, lit(MinhashP)))),
-        lit(MinhashP))
+    val as = Array.tabulate(numHashes)(i =>
+      1L + 2L * ((i * 0x9E3779B9L + 0x85EBCA6BL) % 1000000007L % (MinhashP / 2)))
+    val bs = Array.tabulate(numHashes)(i =>
+      (i * 0xC2B2AE35L + 0x27D4EB2FL) % MinhashP)
+    val f = udf { (hs: Seq[Long]) =>
+      if (hs == null) null
+      else {
+        val out = Array.fill(numHashes)(MinhashP)
+        hs.foreach { h =>
+          var i = 0
+          while (i < numHashes) {
+            val v = ((h * as(i) + bs(i)) % MinhashP + MinhashP) % MinhashP
+            if (v < out(i)) out(i) = v
+            i += 1
+          }
+        }
+        out
+      }
     }
-    array(hs: _*)
+    f(shHashes)
   }
 
-  /** Seeded affine MinHash signature: for hash i, min over shingles of
-    * ((a_i * h(s) + b_i) mod p). Row-local; deterministic. */
+  /** Seeded affine MinHash signature of a text column. Row-local;
+    * deterministic across runs and parallelism. */
   def minhashSignature(text: org.apache.spark.sql.Column, numHashes: Int = 32,
       k: Int = 3): org.apache.spark.sql.Column =
-    minhashFromHashes(transform(shingles(text, k), s => hash(s).cast("long")),
-      numHashes)
+    minhashFromHashes(shingleHashes(shingles(text, k)), numHashes)
 
   /**
    * MinHash LSH near-dup candidates + exact-Jaccard verification.
    * bands x rowsPerBand = numHashes; two docs collide iff some band of
-   * their signatures is identical. Returns verified (doc_a, doc_b,
-   * jaccard >= threshold).
+   * their signatures is identical. The band join ships (doc_id, band,
+   * bandHash) only; candidates are deduped on ids, then verified against
+   * the sorted shingle-hash arrays (8 bytes/shingle, linear merge).
+   * Returns verified (doc_a, doc_b, jaccard >= threshold).
    */
   def minhashLshPairs(documents: DataFrame, numHashes: Int = 32,
       bands: Int = 8, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // two projections: materialize shingle hashes once, THEN the signature
-    val sig = documents
-      .select(col("doc_id"),
-        transform(shingles(col("text"), k), s => hash(s).cast("long"))
-          .as("shh"))
-      .select(col("doc_id"), minhashFromHashes(col("shh"), numHashes).as("sig"))
+    val sig = documents.select(col("doc_id"),
+      minhashSignature(col("text"), numHashes, k).as("sig"))
     val bandCols = (0 until bands).map(b =>
       hash(slice(col("sig"), b * r + 1, r), lit(b)))
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -111,16 +204,7 @@ object DocDedup {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact jaccard (join back the shingle sets)
-    val sh = documents.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(documents, cands, k, threshold)
   }
 
   /** 64-bit SimHash from word hashes (unweighted): bit j of the signature

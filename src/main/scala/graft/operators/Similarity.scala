@@ -99,17 +99,25 @@ object Similarity {
     require(numPlanes % bands == 0)
     val r = numPlanes / bands
     val planes = hyperplanes(dim, numPlanes, seed)
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
+    // the band join and the candidate dedup ship/compare IDS ONLY — the
+    // embedding vectors would otherwise ride through the shuffle and the
+    // distinct would hash full arrays; vectors are re-joined just for the
+    // exact verification of the (far fewer) surviving candidates
+    val sig = embeddings.select(col("vec_id"),
       lshSignature(col("embedding"), planes).as("sig"))
     val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * r + 1, r)))
-    val banded = sig.select(col("vec_id"), col("embedding"),
-      posexplode(array(bandCols: _*)))
+    val banded = sig.select(col("vec_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        "vec_b")
       .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
@@ -132,10 +140,16 @@ object Similarity {
     }
     val qb = banded(queries, "query_id", "qe")
     val cb = banded(corpus, "neighbor_id", "ce")
-    val cands = cb.join(broadcast(qb), Seq("band", "bh"))
+    // ids-only dedup (embeddings re-joined after), as in lshCosinePairs
+    val candIds = cb.drop("ce").join(broadcast(qb.drop("qe")), Seq("band", "bh"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qe", "neighbor_id", "ce")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val cands = candIds
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
       .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

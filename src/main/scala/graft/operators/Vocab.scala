@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,11 +8,14 @@ import org.apache.spark.sql.functions._
  * src/vectorizer/VectorizerKerasTokenizer.py:37-56, dead code there,
  * live capability here).
  *
- * Build: explode tokens -> hash-aggregate counts -> top-K with the
- * DETERMINISTIC id rule (count desc, word asc) — the reference relies on
- * Counter.most_common insertion order, which is nondeterministic across
- * runs; the window tiebreak pins it. Ids start at 2 (0 = pad, 1 = OOV,
- * keras convention the reference inherits).
+ * Build: explode tokens -> hash-aggregate counts -> top-K via
+ * limit-then-rank (TopK.ranked: TakeOrderedAndProject, never a global
+ * single-partition window) with the DETERMINISTIC id rule (count desc,
+ * word asc) — the reference relies on Counter.most_common insertion
+ * order, which is nondeterministic across runs; the tiebreak pins it.
+ * Ids start at 2 (0 = pad, 1 = OOV, keras convention the reference
+ * inherits). The vocabulary is driver-bounded by construction (it is
+ * collected and broadcast for encode anyway).
  *
  * Encode: broadcast-map lookup with OOV default 1 (J5) — the degenerate
  * broadcast left join, row-local at any corpus size.
@@ -21,14 +23,13 @@ import org.apache.spark.sql.functions._
 object Vocab {
 
   /** (word, id) vocabulary of the top `size` words. */
-  def build(docs: DataFrame, tokensCol: String, size: Int): DataFrame =
-    docs.select(explode(col(tokensCol)).as("word"))
+  def build(docs: DataFrame, tokensCol: String, size: Int): DataFrame = {
+    val counts = docs.select(explode(col(tokensCol)).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)) + lit(1))
-      .where(col("id") < size + 2)
-      .select("word", "id")
+    TopK.ranked(counts, size, Seq(col("cnt").desc, col("word").asc), "id")
+      .select(col("word"), (col("id") + 1).as("id"))
+  }
 
   /** Encode token arrays with the broadcast vocabulary; OOV -> 1. */
   def encode(spark: SparkSession, docs: DataFrame, tokensCol: String,

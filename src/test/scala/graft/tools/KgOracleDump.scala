@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.{Pipeline, ReferenceOracle}
+import graft.functions.PyText
+import graft.operators.Detector
+import graft.synth.TranscriptGen
+import org.apache.spark.sql.SparkSession
+
+/**
+ * TEST-ONLY generator for the driver-checkable KG gate (VERDICT r1 item
+ * 9): computes the EXPECTED KG outputs at the driver's Verify scale
+ * (sf0.01 = 2000 convs) from [[ReferenceOracle]] — the independent
+ * transcription of src/prod.py:32-213 that shares no code with the
+ * engine — and prints them as DuckDB VALUES literals for
+ * SparkEntry.oracleSql, alongside the engine's own results so any
+ * divergence is caught BEFORE the literals are embedded.
+ *
+ * Run: sbt -batch "Test/runMain graft.tools.KgOracleDump"
+ */
+object KgOracleDump {
+  def main(args: Array[String]): Unit = {
+    val nConvs = 2000L // == TranscriptGen.convsForSfDir("...sf0.01...")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // oracle path (independent transcription, single-threaded)
+    val model = Detector.buildModel()
+    val expected = (0L until nConvs).flatMap { c =>
+      TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
+        val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+        val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+        ReferenceOracle.extract(t.conv_id, t.turn_idx, t.role, t.text, toks, tags)
+          .map { case (s, p, o) => (t.conv_id, t.turn_idx, s, p, o) }
+      }
+    }
+
+    // engine path
+    val got = Pipeline.extract(spark, TranscriptGen.generate(spark, nConvs))
+      .collect().map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSeq
+
+    def predCounts(ts: Seq[(String, Int, String, String, String)]) =
+      ts.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val (oc, ec) = (predCounts(expected), predCounts(got))
+    println(s"pred counts MATCH: ${oc == ec}")
+    if (oc != ec) {
+      println(s"oracle: ${oc.toSeq.sorted}")
+      println(s"engine: ${ec.toSeq.sorted}")
+    }
+
+    def sample(ts: Seq[(String, Int, String, String, String)]) =
+      ts.sortBy(t => (t._1, t._2, t._3, t._4, t._5)).take(50)
+    val (os, es) = (sample(expected), sample(got))
+    println(s"top-50 sample MATCH: ${os == es}")
+
+    // write as UTF-8 files (stdout mangles non-ASCII under sbt)
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/kg_pred_counts.sql"),
+      oc.toSeq.sortBy(_._1)
+        .map { case (p, n) => s"(${sq(p)}, $n)" }.mkString(",\n  "))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/kg_sample.sql"),
+      os.map { case (c, ti, s, p, o) =>
+        s"(${sq(c)}, $ti, ${sq(s)}, ${sq(p)}, ${sq(o)})"
+      }.mkString(",\n  "))
+    println("wrote /tmp/kg_pred_counts.sql and /tmp/kg_sample.sql")
+    spark.stop()
+  }
+}
