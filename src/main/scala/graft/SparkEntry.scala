@@ -319,16 +319,19 @@ object SparkEntry {
       // against VALUES literals computed by the INDEPENDENT
       // ReferenceOracle transcription of src/prod.py:32-213
       // (graft.tools.KgOracleDump asserts engine == oracle before the
-      // literals are embedded; pinned to the Verify scale, sf0.01)
-      val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
+      // literals are embedded). The corpus is PINNED to 2000 convs — the
+      // sf0.01 scale the literals were minted at — so the gate holds
+      // under any sf dir the driver chooses.
+      val turns = TranscriptGen.generate(s, 2000L)
       Pipeline.extract(s, turns).toDF()
         .groupBy("pred").agg(count(lit(1)).as("n"))
     }),
     "q_kg_triples_sample" -> ((s, d) => {
       // value-level hash gate on the flagship KG output: first 50 triples
       // in (conv_id, turn_idx, subj, pred, obj) order, same
-      // ReferenceOracle-minted VALUES oracle as q_kg_pred_counts
-      val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
+      // ReferenceOracle-minted VALUES oracle as q_kg_pred_counts (2000
+      // convs pinned for the same reason)
+      val turns = TranscriptGen.generate(s, 2000L)
       Pipeline.extract(s, turns).toDF()
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")

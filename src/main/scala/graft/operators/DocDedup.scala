@@ -102,7 +102,15 @@ object DocDedup {
    * only if every one of its shared shingles is stopword-frequent.
    */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3,
-      threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame =
+    verifyJaccard(documents,
+      ngramCandidates(documents, k, maxShingleDf), k, threshold)
+
+  /** Candidate (doc_a, doc_b) pairs sharing >= 1 shingle with
+    * df <= maxShingleDf (exposed so DocOpsSpec can prove the frequent-
+    * shingle guard bounds the candidate count). */
+  def ngramCandidates(documents: DataFrame, k: Int,
+      maxShingleDf: Int): DataFrame = {
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
       .where(col("sh") =!= "")
@@ -118,11 +126,10 @@ object DocDedup {
     }
     val shCold = sh.join(dfs.where(col("df") <= maxShingleDf).select("sh"),
       "sh")
-    val cands = shCold.as("a").join(shCold.as("b"), Seq("sh"))
+    shCold.as("a").join(shCold.as("b"), Seq("sh"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(documents, cands, k, threshold)
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their sorted

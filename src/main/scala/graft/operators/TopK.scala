@@ -20,10 +20,15 @@ object TopK {
   /** df ordered by `order`, cut to k rows, with a 1-based `rankCol`
     * assigned in that order. k must be driver-bounded (top-K semantics —
     * the k rows are collected to assign ranks without a global window). */
+  /** The distributed part: orderBy+limit, planned as
+    * TakeOrderedAndProject (asserted by ScaleSpec). */
+  def top(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
   def ranked(df: DataFrame, k: Int, order: Seq[Column],
       rankCol: String = "rank"): DataFrame = {
     val spark = df.sparkSession
-    val top = df.orderBy(order: _*).limit(k)
+    val top = this.top(df, k, order)
     val rows = top.collect() // TakeOrderedAndProject returns rows in order
     val schema = StructType(top.schema.fields :+
       StructField(rankCol, IntegerType, nullable = false))

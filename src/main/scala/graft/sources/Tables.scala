@@ -32,19 +32,28 @@ object Tables {
     df
   }
 
+  /** S1 option wiring as a pure map — the part of the JDBC path that CAN
+    * be unit-tested in this zero-egress sandbox (key spelling is the
+    * contract; a typo silently disables partitioned reads). */
+  def jdbcOptions(url: String, table: String, partitionColumn: String,
+      lowerBound: Long, upperBound: Long,
+      numPartitions: Int): Map[String, String] = Map(
+    "url" -> url,
+    "dbtable" -> table,
+    "partitionColumn" -> partitionColumn,
+    "lowerBound" -> lowerBound.toString,
+    "upperBound" -> upperBound.toString,
+    "numPartitions" -> numPartitions.toString)
+
   /** S1: the production JDBC scan shape (reference: src/data/database.py:
     * 24-43 — PostgreSQL joins pushed to the source via `dbtable` subquery,
-    * partitioned read on the numeric key). Untestable in this sandbox
-    * (zero egress, no DB); kept as the documented prod entry point. */
+    * partitioned read on the numeric key). `load()` is untestable here
+    * (zero egress, no DB); the option wiring is pinned by SourcesSpec. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
       numPartitions: Int): DataFrame =
     spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("partitionColumn", partitionColumn)
-      .option("lowerBound", lowerBound)
-      .option("upperBound", upperBound)
-      .option("numPartitions", numPartitions)
+      .options(jdbcOptions(url, table, partitionColumn, lowerBound,
+        upperBound, numPartitions))
       .load()
 }

@@ -43,6 +43,36 @@ class DocOpsSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("frequent-shingle guard bounds candidates without losing real near-dups") {
+    import spark.implicits._
+    // 40 docs that share ONLY the stopword shingle "the cat sat" (plus
+    // unique tails), and one genuine near-dup pair (docs 100/101) whose
+    // overlap is rare shingles
+    val stopworded = (0 until 40).map(i =>
+      (i.toLong, s"the cat sat uniquely$i alpha$i beta$i gamma$i delta$i"))
+    val nearDup = Seq(
+      (100L, "rare signal shingle overlap here exactly matching body"),
+      (101L, "rare signal shingle overlap here exactly matching tail"))
+    val df = (stopworded ++ nearDup).toDF("doc_id", "text")
+    // unguarded: the stopword shingle alone yields 40*39/2 = 780 pairs
+    val unguarded = DocDedup.ngramCandidates(df, k = 3, maxShingleDf = 1000)
+    assert(unguarded.count() >= 780)
+    // guarded: stopword shingle (df=40 > 10) is dropped from candidate
+    // generation; only the rare-shingle pair survives
+    val guarded = DocDedup.ngramCandidates(df, k = 3, maxShingleDf = 10)
+    val pairs = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    // and the verified output still reports the near-dup with its EXACT
+    // jaccard (verification uses full shingle sets, not the guarded ones)
+    val out = DocDedup.ngramJaccardPairs(df, k = 3, threshold = 0.5,
+      maxShingleDf = 10).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 100L &&
+      out.head.getLong(1) == 101L)
+    val jac = out.head.getDouble(2)
+    // 8 tokens -> 6 shingles each, 5 shared: 5/7 rounded to 6 places
+    assert(math.abs(jac - 0.714286) < 1e-6, s"jaccard $jac")
+  }
+
   test("simhash: identical docs distance 0; near-dups small hamming") {
     val sigs = docs.select(col("doc_id"), DocDedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -73,6 +73,34 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("top-K plans TakeOrderedAndProject; ranked queries carry no global window") {
+    import graft.operators.TopK
+    val rev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val plan = TopK.top(rev, 10,
+      Seq(col("revenue").desc, col("o_custkey").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must plan TakeOrderedAndProject:\n$plan")
+    // the full ranked queries must contain NO window at all (a
+    // partitionless WindowExec funnels everything through one task)
+    Seq("q_topk_customers", "q_vocab_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+    }
+  }
+
+  test("levenshtein pair query is a blocked equi-join, not a cartesian product") {
+    val df = SparkEntry.queries("q_word_pairs_lev")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"self-join must be length-blocked:\n$p")
+  }
+
   test("Catalyst StaticInvoke/doGenCode expressions match the Scala semantics") {
     import spark.implicits._
     val df = Seq("o'neill's SONG", "miku's", "日本語 test", "Tavaszi Szél")
