@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
  */
 object BenchLeg {
   def main(args: Array[String]): Unit = {
-    val Array(turnsPath, nStr, expectStr) = args
+    val (turnsPath, nStr, expectStr) = (args(0), args(1), args(2))
+    val nRuns = if (args.length > 3) args(3).toInt else 5
     val n = nStr.toInt
     val expected = expectStr.toLong
     val spark = SparkSession.builder()
@@ -39,10 +40,12 @@ object BenchLeg {
     def job(): Long = Pipeline.extract(spark,
       spark.read.parquet(turnsPath).as[Schemas.Turn](
         Encoders.product[Schemas.Turn])).count()
-    // warm-up (codegen/JIT) doubling as the determinism gate: every
+    // warm-ups (codegen/JIT — a fresh JVM needs two passes before timings
+    // flatten), the first doubling as the determinism gate: every
     // parallelism level must produce the identical triple count
     require(job() == expected, s"nondeterministic triple count at local[$n]")
-    val times = (1 to 3).map { _ =>
+    job()
+    val times = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
     }
     spark.stop()

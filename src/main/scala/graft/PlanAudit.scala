@@ -11,7 +11,9 @@ object PlanAudit {
     println("===== extract() object pipeline (must be fused, no Exchange) =====")
     val t = synth.TranscriptGen.generate(spark, 5L)
     println(Pipeline.extract(spark, t).queryExecution.executedPlan.toString)
-    for (q <- Seq("q_ngram_jaccard", "q_embed_topk", "q_dedup_exact", "q_minhash_pairs")) {
+    for (q <- Seq("q_ngram_jaccard", "q_embed_topk", "q_dedup_exact",
+        "q_minhash_pairs", "q_embed_lsh_pairs", "q_topk_customers",
+        "q_word_pairs_lev")) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, d)
       df.collect()
