@@ -336,6 +336,14 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
         .limit(50)
+    }),
+    "q_kg_mention_tag_counts" -> ((s, d) => {
+      // decode-stage gate: per-tag mention counts (decode + me-sub,
+      // pre-dedup), VALUES oracle minted from ReferenceOracle.decode/
+      // meSubstitute by KgOracleDump (2000 convs pinned)
+      val turns = TranscriptGen.generate(s, 2000L)
+      Decode.mentions(s, Pipeline.decodeTurns(s, turns)).toDF()
+        .groupBy("tag").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -644,6 +652,17 @@ object SparkEntry {
   ('conv00000000', 34, 'Marble Soda Sky', 'on_album', 'Unhappy Refrain'),
   ('conv00000000', 34, 'Marble Soda Sky', 'performed_by', 'Kenshi Yonezu'),
   ('conv00000000', 35, 'Paper Moon Waltz', 'modifier', 'Cover'),
-  ('conv00000000', 35, 'Paper Moon Waltz', 'performed_by', 'wowaka')) AS t(conv_id, turn_idx, subj, pred, obj)"""
+  ('conv00000000', 35, 'Paper Moon Waltz', 'performed_by', 'wowaka')) AS t(conv_id, turn_idx, subj, pred, obj)""",
+    "q_kg_mention_tag_counts" ->
+      """SELECT tag, n::BIGINT AS n FROM (VALUES
+  ('ALBUM', 3451),
+  ('ALT_TITLE', 1807),
+  ('FEATURING', 1780),
+  ('MISC_PERSON', 1794),
+  ('MODIFIER', 5389),
+  ('ORIGINAL_AUTHOR', 12450),
+  ('TITLE', 15424),
+  ('VOCALIST', 1809),
+  ('VOCALOID', 1807)) AS t(tag, n)"""
   )
 }

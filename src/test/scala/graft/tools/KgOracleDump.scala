@@ -38,7 +38,30 @@ object KgOracleDump {
       }
     }
 
+    // oracle path for the DECODE stage: per-tag entity counts after
+    // decode + me-substitution (what Decode.mentions emits, pre-dedup)
+    val oracleTagCounts: Map[String, Long] = (0L until nConvs).flatMap { c =>
+      TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
+        val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+        val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+        ReferenceOracle.meSubstitute(
+          ReferenceOracle.decode(t.text, toks, tags),
+          if (t.role == null) "" else t.role).map(_._1)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
     // engine path
+    val turnsDs = TranscriptGen.generate(spark, nConvs)
+    val engineTagCounts = graft.operators.Decode.mentions(spark,
+        Pipeline.decodeTurns(spark, turnsDs)).toDF()
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"mention tag counts MATCH: ${oracleTagCounts == engineTagCounts}")
+    if (oracleTagCounts != engineTagCounts) {
+      println(s"oracle: ${oracleTagCounts.toSeq.sorted}")
+      println(s"engine: ${engineTagCounts.toSeq.sorted}")
+    }
+
     val got = Pipeline.extract(spark, TranscriptGen.generate(spark, nConvs))
       .collect().map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSeq
 
@@ -67,7 +90,12 @@ object KgOracleDump {
       os.map { case (c, ti, s, p, o) =>
         s"(${sq(c)}, $ti, ${sq(s)}, ${sq(p)}, ${sq(o)})"
       }.mkString(",\n  "))
-    println("wrote /tmp/kg_pred_counts.sql and /tmp/kg_sample.sql")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/kg_mention_tags.sql"),
+      oracleTagCounts.toSeq.sortBy(_._1)
+        .map { case (t, n) => s"(${sq(t)}, $n)" }.mkString(",\n  "))
+    println("wrote /tmp/kg_pred_counts.sql, /tmp/kg_sample.sql, " +
+      "/tmp/kg_mention_tags.sql")
     spark.stop()
   }
 }
