@@ -111,6 +111,34 @@ object Bench {
     (all.min, all)
   }
 
+  /** Spark-free scaling CONTROL (graft.Micro: the identical hot path on
+    * a plain thread pool — no scheduler, no scan, no shuffle machinery).
+    * Run in the same pinned fresh-JVM harness as the Spark legs, it
+    * measures the PLATFORM's intrinsic N->4N ceiling on this
+    * (virtualized, shared) box; the engine's Spark efficiency is then
+    * judged against this ceiling, not against an ideal 1.0 the hardware
+    * itself cannot produce. Returns best tps. */
+  private def runMicro(n: Int, runs: Int): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    import scala.jdk.CollectionConverters._
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ inherited ++ Seq(
+      s"-XX:ActiveProcessorCount=$n", "-Xmx4g",
+      "-cp", cp, "graft.Micro", n.toString, "60000", runs.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    val line = out.linesIterator.find(_.startsWith("MICRO "))
+      .getOrElse(sys.error(s"micro control local[$n] failed:\n$out"))
+    System.err.println(s"[bench] $line")
+    "tps=([0-9]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -153,10 +181,15 @@ object Bench {
     // reported alongside to document the ceiling honestly.
     val legs = scala.collection.mutable.Map[Int, (Double, Seq[Double])]()
     // enough timed runs that each leg reaches JIT steady state — JIT
-    // warms in wall-time, so the long small-n runs need fewer of them
+    // warms in wall-time, so the long small-n runs need fewer of them.
+    // The full-width 32-leg sees every transient on a shared box and
+    // would burn retries forever; it is informational (documents the
+    // ceiling), not the scaling gate, so it gets more runs and no
+    // dispersion retry — the min estimator absorbs the outliers.
     def leg(n: Int): Unit =
       legs(n) = runLeg(n, turnsPath, nTriples,
-        if (n <= 2) 5 else if (n <= 8) 6 else 8)
+        runs = if (n <= 2) 5 else if (n <= 8) 6 else 10,
+        maxSpread = if (n >= 32) Double.MaxValue else 2.0)
     Seq(1, 2, 4, 8, 32).foreach(leg)
     def sec(n: Int) = legs(n)._1
     def pairEff(a: Int, b: Int) = (sec(a) / sec(b)) / (b.toDouble / a)
@@ -183,6 +216,12 @@ object Bench {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
+    // Spark-free control on the same pinned harness: the platform's own
+    // 1->4 scaling ceiling for this workload
+    val microTps1 = runMicro(1, 5)
+    val microTps4 = runMicro(4, 5)
+    val microEff = (microTps4 / microTps1) / 4.0
+
     val (t1, t2, t4, t8, t32) = (sec(1), sec(2), sec(4), sec(8), sec(32))
     val tps1 = nTriples / t1
     val tps2 = nTriples / t2
@@ -208,6 +247,9 @@ object Bench {
         s""""kg_tps_n8":${f"$tps8%.1f"},"kg_tps_n32":${f"$tps32%.1f"},""" +
         s""""kg_scaling_efficiency":${f"$eff%.3f"},"kg_scaling_efficiency_2_8":${f"$eff2to8%.3f"},""" +
         s""""kg_scaling_efficiency_8_32":${f"$eff8to32%.3f"},""" +
-        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap ∝ cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, the one 4x pair fully below the single-box memory-bandwidth ceiling (graft.Micro); 2->8 ends on the ceiling's edge and 8->32 documents the ceiling itself"}""")
+        s""""micro_tps_n1":${f"$microTps1%.1f"},"micro_tps_n4":${f"$microTps4%.1f"},""" +
+        s""""micro_scaling_efficiency_1_4":${f"$microEff%.3f"},""" +
+        s""""kg_vs_platform_ceiling_1_4":${f"${eff / microEff}%.3f"},""" +
+        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap ∝ cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4; micro_* is the Spark-free control (identical hot path, plain thread pool) = this virtualized box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling"}""")
   }
 }
