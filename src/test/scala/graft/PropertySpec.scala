@@ -127,4 +127,46 @@ class PropertySpec extends AnyFunSuite {
       assert(a.length == toks.length)
     }
   }
+
+  test("sortedJaccard merge == set-based jaccard on random long arrays") {
+    // pin the UDF's merge against the obvious set formula (the DocDedup
+    // verification path depends on this merge being exact)
+    val arrGen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+      .map(_.distinct.sorted.toArray)
+    forAll2(arrGen, arrGen) { (a, b) =>
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val merge =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else inter.toDouble / (a.length + b.length - inter)
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else {
+          val (sa, sb) = (a.toSet, b.toSet)
+          sa.intersect(sb).size.toDouble / sa.union(sb).size
+        }
+      assert(math.abs(merge - expected) < 1e-12)
+    }
+  }
+
+  test("minhash signature: deterministic, bounded, min monotone under shingle superset") {
+    import graft.operators.DocDedup
+    import org.apache.spark.sql.functions.lit
+    def sig(text: String): Seq[Long] = SharedSpark.spark.range(1)
+      .select(DocDedup.minhashSignature(lit(text), numHashes = 32))
+      .head.getSeq[Long](0)
+    val base = "the quick brown fox jumps the lazy dog"
+    val sh = sig(base)
+    assert(sh.length == 32)
+    assert(sh.forall(v => v >= 0 && v <= 2147483647L))
+    assert(sig(base) == sh) // deterministic across evaluations
+    // the extended text's shingle set is a SUPERSET of the base's (same
+    // leading tokens), so every permutation-min can only stay or drop
+    val sh2 = sig(base + " and then some more text")
+    sh.zip(sh2).foreach { case (a, b) => assert(b <= a) }
+  }
 }
