@@ -25,10 +25,26 @@ object PyText {
     * iteration marks / ASCII digits / combining (han)dakuten / Hungarian
     * accented vowels — as one alternative — or plain ASCII alnum; either
     * followed by any run of '.' or '!'. */
+  private val classA = "一-龠ぁ-ゔァ-ヴーａ-ｚＡ-Ｚ０-９々〆〤0-9゙゚" +
+    "áíóöőüúűéÁÍÚÜŰÓÖŐÉ"
   private val wordPattern = java.util.regex.Pattern.compile(
-    "([一-龠ぁ-ゔァ-ヴーａ-ｚＡ-Ｚ０-９々〆〤0-9゙゚" +
-      "áíóöőüúűéÁÍÚÜŰÓÖŐÉ]+" +
-      "|[a-zA-Z0-9]+)[.!]*")
+    s"([$classA]+|[a-zA-Z0-9]+)[.!]*")
+
+  /** BMP membership tables for the scanner form of the tokenizer,
+    * GENERATED from the regex character classes themselves (single source
+    * of truth — no hand-transcribed ranges to get wrong; equivalence with
+    * the regex form is additionally property-tested on random unicode).
+    * The classes contain no astral characters, so any surrogate is
+    * out-of-class, exactly as in the regex. */
+  private val inA: Array[Boolean] = {
+    val p = java.util.regex.Pattern.compile(s"[$classA]")
+    Array.tabulate(65536) { c =>
+      !Character.isSurrogate(c.toChar) &&
+        p.matcher(String.valueOf(c.toChar)).matches()
+    }
+  }
+  @inline private def inB(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   /** The "verbal token" pattern (feature_extraction.py:66) — same classes
     * minus ASCII digits in the second alternative. */
@@ -160,8 +176,53 @@ object PyText {
    *  - whitespace tokens are dropped except a literal "\n".
    *
    * Offsets are UTF-16 code-unit indices into `text` (substring-ready).
+   *
+   * Implemented as a table-driven scanner, not a regex find() loop: this
+   * runs once per turn of a 10^12-turn corpus and the regex engine was
+   * the single largest per-turn cost (measured ~25% end-to-end via
+   * graft.Micro). The scanner is EXACTLY the pattern's semantics — at
+   * each position try [classA]+ first, else [a-zA-Z0-9]+, then swallow
+   * the [.!]* suffix; unmatched codepoints explode as single tokens —
+   * with class membership read from tables generated from the regex
+   * classes themselves. [[tokenizeWithOffsetsRegex]] keeps the direct
+   * regex form; PropertySpec pins scanner == regex on random unicode.
    */
   def tokenizeWithOffsets(text: String): Array[Token] = {
+    if (text == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      var j = -1
+      if (inA(c)) {
+        j = i + 1
+        while (j < n && inA(text.charAt(j))) j += 1
+      } else if (inB(c)) {
+        j = i + 1
+        while (j < n && inB(text.charAt(j))) j += 1
+      }
+      if (j > 0) {
+        // word match: swallow the [.!]* suffix; class chars are never
+        // whitespace so the match always survives the whitespace filter
+        while (j < n && { val s = text.charAt(j); s == '.' || s == '!' }) j += 1
+        out += Token(text.substring(i, j), i, j)
+        i = j
+      } else {
+        // gap: one codepoint, dropped iff whitespace other than "\n"
+        val cp = text.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (cp == '\n' || !pyIsSpaceCp(cp))
+          out += Token(text.substring(i, i + w), i, i + w)
+        i += w
+      }
+    }
+    out.toArray
+  }
+
+  /** The direct regex form of [[tokenizeWithOffsets]] (the scanner's
+    * equivalence oracle; kept test-reachable, not on the hot path). */
+  private[graft] def tokenizeWithOffsetsRegex(text: String): Array[Token] = {
     if (text == null) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Token]
     def explodeGap(from: Int, until: Int): Unit = {

@@ -35,10 +35,17 @@ import graft.Gazetteer
  */
 object Decode {
 
-  /** Exact imperative decode of one turn (order = token order). */
+  /** Exact imperative decode of one turn (order = token order).
+    * Hot-path note: the output buffer is allocated LAZILY — the majority
+    * of turns in a real corpus are all-"O" and must not pay a buffer +
+    * copy per turn. */
   def decodeEntities(text: String, toks: IndexedSeq[Token],
       tags: IndexedSeq[String]): Seq[Entity] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Entity]
+    var out: scala.collection.mutable.ArrayBuffer[Entity] = null
+    @inline def push(e: Entity): Unit = {
+      if (out == null) out = new scala.collection.mutable.ArrayBuffer[Entity](4)
+      out += e
+    }
     var curTag: String = null
     var curStart = 0
     var curEnd = 0
@@ -48,20 +55,20 @@ object Decode {
       if (tag != "O") {
         if (curTag == null || tag != curTag) {
           if (curTag != null)
-            out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
+            push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
           curTag = tag; curStart = toks(i).start; curEnd = toks(i).end
         } else {
           curEnd = toks(i).end // continue: extend to this word's end
         }
       } else if (curTag != null) {
-        out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
+        push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
         curTag = null
       }
       i += 1
     }
     if (curTag != null)
-      out += Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd)
-    out.toSeq
+      push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
+    if (out == null) Seq.empty else out.toSeq
   }
 
   /** Me-substitution (D3): first-person mention -> speaker. */

@@ -128,6 +128,14 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer scanner == regex form on random unicode (incl. astral/CJK)") {
+    forAll(textGen, n = 400) { text =>
+      val a = PyText.tokenizeWithOffsets(text).toSeq
+      val b = PyText.tokenizeWithOffsetsRegex(text).toSeq
+      assert(a == b, s"scanner/regex divergence on ${text.take(80)}")
+    }
+  }
+
   test("sortedJaccard merge == set-based jaccard on random long arrays") {
     // pin the UDF's merge against the obvious set formula (the DocDedup
     // verification path depends on this merge being exact)
