@@ -68,7 +68,13 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
     val heapGb = math.max(2, n)
+    // ParallelGC, not G1: this job is pure-throughput with a high
+    // allocation rate (no latency requirement), where G1's concurrent
+    // cycles + region management cost measurably more — measured 9.4s ->
+    // 6.5s on the pinned 4-core leg after the tokenizer speedup doubled
+    // the allocation rate
     val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ inherited ++ Seq(
+      "-XX:+UseParallelGC",
       s"-XX:ActiveProcessorCount=$n", s"-Xmx${heapGb}g",
       "-cp", cp, "graft.BenchLeg", turnsPath, n.toString, expected.toString,
       runs.toString)
@@ -126,6 +132,7 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
     val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ inherited ++ Seq(
+      "-XX:+UseParallelGC", // same GC as the Spark legs (see runLeg)
       s"-XX:ActiveProcessorCount=$n", "-Xmx4g",
       "-cp", cp, "graft.Micro", n.toString, "60000", runs.toString)
     val pb = new ProcessBuilder(cmd: _*)
@@ -188,7 +195,9 @@ object Bench {
     // dispersion retry — the min estimator absorbs the outliers.
     def leg(n: Int): Unit =
       legs(n) = runLeg(n, turnsPath, nTriples,
-        runs = if (n <= 2) 5 else if (n <= 8) 6 else 10,
+        // 1-2 core JVMs JIT slowly in wall-time terms relative to their
+        // run length — their traces keep descending for ~6 runs
+        runs = if (n <= 2) 7 else if (n <= 8) 6 else 10,
         maxSpread = if (n >= 32) Double.MaxValue else 2.0)
     Seq(1, 2, 4, 8, 32).foreach(leg)
     def sec(n: Int) = legs(n)._1
