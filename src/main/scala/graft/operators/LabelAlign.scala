@@ -40,13 +40,12 @@ object LabelAlign {
     val first = joined.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
     // W4: first subtoken of each word carries the label; others -100
-    val wWord = Window.partitionBy(col("t.doc")).orderBy(col("t.pos"))
+    val wWord = Window.partitionBy(col("doc")).orderBy(col("pos"))
     first.select(col("t.doc").as("doc"), col("t.pos").as("pos"),
       col("t.word_id").as("word_id"), col("s.tag").as("tag"))
       .withColumn("first_subtok",
-        lag("word_id", 1).over(Window.partitionBy(col("doc")).orderBy(col("pos")))
-          .isNull || lag("word_id", 1).over(
-          Window.partitionBy(col("doc")).orderBy(col("pos"))) =!= col("word_id"))
+        lag("word_id", 1).over(wWord).isNull ||
+          lag("word_id", 1).over(wWord) =!= col("word_id"))
       .withColumn("label_id",
         when(!col("first_subtok"), lit(-100))
           .when(col("tag").isNull, lit(0))
