@@ -157,11 +157,16 @@ object Bench {
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)
-    // session warm-up so the first timed query doesn't absorb parquet
-    // reader + codegen + scheduler initialization (~5s of fixed cost)
+    // session warm-up so the first timed query per table doesn't absorb
+    // parquet reader + codegen + scheduler initialization (~5s of fixed
+    // cost) or the cold page-cache read of that table
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
+      Seq("lineitem", "orders", "customer", "events", "documents",
+        "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+      // generator+detector codegen warm-up for the KG queries
+      Pipeline.extract(spark, TranscriptGen.generate(spark, 50L)).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count())
