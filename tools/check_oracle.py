@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Emulate the driver's correctness check: for each query with oracle SQL,
+run the SQL in DuckDB over the sf tables and compare with the Spark parquet
+dump (columns sorted by name, rows sorted, values compared)."""
+import sys, json, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        ddf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}")
+        fail += 1
+        continue
+    try:
+        sdf = pq.read_table(f"{outdir}/{name}").to_pandas()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {e}")
+        fail += 1
+        continue
+    dcols, scols = sorted(ddf.columns), sorted(sdf.columns)
+    if dcols != scols:
+        print(f"FAIL {name}: columns differ duckdb={dcols} spark={scols}")
+        fail += 1
+        continue
+    ddf = ddf[dcols].sort_values(dcols).reset_index(drop=True)
+    sdf = sdf[scols].sort_values(scols).reset_index(drop=True)
+    if len(ddf) != len(sdf):
+        print(f"FAIL {name}: rows duckdb={len(ddf)} spark={len(sdf)}")
+        fail += 1
+        continue
+    mismatch = None
+    for c in dcols:
+        a, b = ddf[c], sdf[c]
+        try:
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                bad = ~((a.isna() & b.isna()) | (a == b))
+            else:
+                bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+            if bad.any():
+                i = bad.idxmax()
+                mismatch = (c, a[i], b[i], int(bad.sum()))
+                break
+        except Exception as e:
+            mismatch = (c, 'cmp-error', str(e), -1)
+            break
+    if mismatch:
+        print(f"FAIL {name}: col {mismatch[0]} duckdb={mismatch[1]!r} spark={mismatch[2]!r} nbad={mismatch[3]}")
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(ddf)} rows)")
+        ok += 1
+print(f"\n{ok} OK, {fail} FAIL")
