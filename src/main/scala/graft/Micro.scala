@@ -1,6 +1,6 @@
 package graft
 import graft.synth.TranscriptGen
-import graft.operators.{Detector, Decode, Triples}
+import graft.operators.Detector
 import java.util.concurrent.{Executors, TimeUnit}
 object Micro {
   def main(args: Array[String]): Unit = {
@@ -10,14 +10,12 @@ object Micro {
     val model = Detector.buildModel()
     // pre-generate turns (excluded from timing)
     val turns = (0L until nConvs.toLong).flatMap(c => TranscriptGen.turnsOfConv(42L, c, 8)).toArray
+    // the control runs the ENGINE's fused per-turn hot path verbatim
+    // (Pipeline.extractTurn) — the only delta vs the Spark legs is the
+    // platform around it (thread pool vs Spark scan/encoder/scheduler)
     def work(slice: Array[graft.Schemas.Turn]): Long = {
       var triples = 0L
-      slice.foreach { t =>
-        val toks = graft.functions.PyText.tokenizeWithOffsets(t.text)
-        val tags = Detector.tagTokens(model, t.text, toks)
-        val ents = Decode.meSubstitute(Decode.decodeEntities(t.text, toks.toIndexedSeq, tags.toIndexedSeq), t.role)
-        triples += Triples.emit(t.conv_id, t.turn_idx, Triples.structuredResult(ents), "x").size
-      }
+      slice.foreach { t => triples += graft.Pipeline.extractTurn(model, t).size }
       triples
     }
     // warmup

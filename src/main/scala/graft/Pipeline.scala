@@ -17,12 +17,46 @@ import graft.operators._
  */
 object Pipeline {
 
-  /** turns -> triples (pre-canonicalization). Narrow end-to-end. */
+  /** The fused per-turn hot path: tokenize → tag → decode → me-sub →
+    * structured result → triple emit, with NO intermediate Dataset
+    * boundary. This is the single function the scaling bench measures —
+    * graft.Micro runs it verbatim on a plain thread pool as the
+    * Spark-free control, so the control and the engine share the hot
+    * path by construction.
+    *
+    * Why fused (round-2 scaling autopsy): the staged form
+    * (detect `mapPartitions` → decode `map` → triples `flatMap`) crosses
+    * TWO typed-Dataset encoder boundaries per turn — each re-encodes the
+    * full token/tag/entity arrays through the product encoder into
+    * UnsafeRows and back. At 1 core that cost hides under compute; at 4+
+    * cores it is pure allocation-rate pressure (the measured scaling
+    * limiter for this workload) and dragged 1→4 efficiency to 0.70 vs
+    * the 1.00 Spark-free control. Fused, only the (sparse) Triple rows
+    * ever meet an encoder. */
+  def extractTurn(model: Detector.Model, t: Turn): Seq[Triple] = {
+    val toks = graft.functions.PyText.tokenizeWithOffsets(t.text)
+    val tags = Detector.tagTokens(model, t.text, toks)
+    val ents = Decode.meSubstitute(
+      Decode.decodeEntities(t.text,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tags)),
+      if (t.role == null) "" else t.role)
+    Triples.emit(t.conv_id, t.turn_idx, Triples.structuredResult(ents),
+      "gazetteer:ac")
+  }
+
+  /** turns -> triples (pre-canonicalization). ONE narrow `mapPartitions`
+    * end-to-end (zero shuffles, zero intermediate encoder round-trips —
+    * see [[extractTurn]]); equivalent to
+    * `Triples.triples(Decode.decode(Detector.detect(...)))` stage by
+    * stage (DecodeSpec/ParitySpec pin the equivalence). */
   def extract(spark: SparkSession, turns: Dataset[Turn]): Dataset[Triple] = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
-    val tagged = Detector.detect(spark, turns, bc)
-    val decoded = Decode.decode(spark, tagged)
-    Triples.triples(spark, decoded)
+    turns.mapPartitions { it =>
+      val model = bc.value // dereferenced once per partition
+      it.flatMap(t => extractTurn(model, t))
+    }
   }
 
   /** turns -> decoded turns (exposed for linking/coref stages). */

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Schemas._
-import graft.operators.{Decode, Detector, Triples}
+import graft.operators.{Decode, Detector}
 
 /**
  * Optional Structured Streaming ingestion mode (SURVEY.md §2.10): the
@@ -19,15 +19,20 @@ import graft.operators.{Decode, Detector, Triples}
  */
 object StreamingIngest {
 
-  /** streaming turns -> streaming triples (append mode). */
+  /** streaming turns -> streaming triples (append mode). The extraction
+    * runs the SAME fused hot path as batch ([[graft.Pipeline.extractTurn]])
+    * so stream==batch equivalence holds by construction. */
   def tripleStream(spark: SparkSession, turns: Dataset[Turn],
       watermark: String = "10 minutes"): Dataset[Triple] = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
-    val deduped = turns
+    turns
       .withWatermark("ts", watermark)
       .dropDuplicates("conv_id", "turn_idx")
-    Triples.triples(spark,
-      Decode.decode(spark, Detector.detect(spark, deduped, bc)))
+      .mapPartitions { it =>
+        val model = bc.value
+        it.flatMap(t => graft.Pipeline.extractTurn(model, t))
+      }
   }
 
   /** File-source convenience: watch a directory of turn parquet files. */
