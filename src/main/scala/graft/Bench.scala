@@ -62,12 +62,18 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     // pass through module opens / -D flags this JVM was launched with,
     // but re-size the heap per leg (a 4N-executor cluster has 4x the
-    // memory of an N-executor one; 1 GiB per core, floor 2 GiB)
+    // memory of an N-executor one; 2 GiB per core, floor 4 GiB — the
+    // fused hot path is allocation-rate-bound, and 1 GiB/core left the
+    // parallel legs GC-throttled)
     import scala.jdk.CollectionConverters._
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
-      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
-    val heapGb = math.max(2, n)
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        // drop any inherited collector choice — we append UseParallelGC
+        // below, and a conflicting -XX:+UseG1GC from the parent would
+        // abort every child at startup
+        (a.startsWith("-XX:+Use") && a.endsWith("GC")))
+    val heapGb = math.max(4, 2 * n)
     // ParallelGC, not G1: this job is pure-throughput with a high
     // allocation rate (no latency requirement), where G1's concurrent
     // cycles + region management cost measurably more — measured 9.4s ->
@@ -77,7 +83,8 @@ object Bench {
       "-XX:+UseParallelGC",
       s"-XX:ActiveProcessorCount=$n", s"-Xmx${heapGb}g",
       "-cp", cp, "graft.BenchLeg", turnsPath, n.toString, expected.toString,
-      runs.toString)
+      runs.toString,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JOBKIND", "full"))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
@@ -130,7 +137,8 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
-      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        (a.startsWith("-XX:+Use") && a.endsWith("GC")))
     val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ inherited ++ Seq(
       "-XX:+UseParallelGC", // same GC as the Spark legs (see runLeg)
       s"-XX:ActiveProcessorCount=$n", "-Xmx4g",
@@ -152,8 +160,10 @@ object Bench {
     // sized so the local[1] leg runs ~35s: Spark's fixed per-job cost
     // (scheduling, scan setup, ~0.3-0.5s) hits the FAST leg of each pair
     // relatively harder, deflating measured efficiency — at 35s/9s legs
-    // it is amortized to ~1% (at 17s/5s it cost ~5 efficiency points)
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toLong
+    // it is amortized to ~1% (at 17s/5s it cost ~5 efficiency points).
+    // 800k convs restores the ~35s target after the round-3 fusion nearly
+    // halved per-turn cost.
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "800000").toLong
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)
@@ -165,10 +175,19 @@ object Bench {
         "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
-      // generator+detector codegen warm-up for the KG queries
+      // generator+detector codegen warm-up for the KG queries, then the
+      // shared decoded prefix so each q_kg_* query times its OWN stage
       Pipeline.extract(spark, TranscriptGen.generate(spark, 50L)).count()
+      SparkEntry.warmKgPrefix(spark, sfDir)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+      .contains("1")
+    val results = if (skipQueries) Seq.empty[(String, Double)]
+    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // full GC between queries: a heavy query's garbage otherwise bleeds
+      // into its successor's measured time (BENCH_r02: q_langid/q_median,
+      // both trivial, measured 5-8s right after the five KG queries)
+      System.gc()
       val sec = try time(fn(spark, sfDir).count())
       catch { case _: Throwable => -1.0 }
       name -> sec
@@ -204,9 +223,31 @@ object Bench {
         // run length — their traces keep descending for ~6 runs
         runs = if (n <= 2) 7 else if (n <= 8) 6 else 10,
         maxSpread = if (n >= 32) Double.MaxValue else 2.0)
-    Seq(1, 2, 4, 8, 32).foreach(leg)
     def sec(n: Int) = legs(n)._1
     def pairEff(a: Int, b: Int) = (sec(a) / sec(b)) / (b.toDouble / a)
+    def cleanupTurns(): Unit = try {
+      val root = java.nio.file.Paths.get(turnsPath).getParent
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    // Iteration knob (NOT set by the driver): run ONLY the listed legs and
+    // print a short legs-only JSON — for quick local scaling reads while
+    // tuning the hot path, without the full 5-leg + micro-control run.
+    sys.env.get("SPARK_GRAFT_BENCH_LEGS") match {
+      case Some(spec) =>
+        val ls = spec.split(",").map(_.trim.toInt).toSeq
+        ls.foreach(leg)
+        val legsJson = ls.map(n => s""""$n":${f"${sec(n)}%.3f"}""")
+          .mkString("{", ",", "}")
+        val pairsJson = ls.sliding(2).collect { case Seq(a, b) =>
+          s""""${a}->$b":${f"${pairEff(a, b)}%.3f"}""" }
+          .mkString("{", ",", "}")
+        cleanupTurns()
+        println(s"""{"metric":"legs-only iteration run","legs_sec":$legsJson,""" +
+          s""""pair_eff":$pairsJson,"kg_triples":$nTriples}""")
+        return
+      case None => Seq(1, 2, 4, 8, 32).foreach(leg)
+    }
     // sanity gate: a leg polluted by box contention (the driver harness
     // shares this machine) shows up as a pairwise efficiency that is
     // physically impossible (>1.05) or absurd — discard and re-measure
@@ -224,11 +265,7 @@ object Bench {
       attempts += 1
     }
     // drop the materialized bench input (a few hundred MB under /tmp)
-    try {
-      val root = java.nio.file.Paths.get(turnsPath).getParent
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+    cleanupTurns()
 
     // Spark-free control on the same pinned harness: the platform's own
     // 1->4 scaling ceiling for this workload

@@ -23,6 +23,10 @@ object BenchLeg {
   def main(args: Array[String]): Unit = {
     val (turnsPath, nStr, expectStr) = (args(0), args(1), args(2))
     val nRuns = if (args.length > 3) args(3).toInt else 5
+    // diagnostic job selector (iteration only; the driver always runs
+    // "full"): "scan" = pruned read+deserialize with a trivial consumer —
+    // isolates the IO/deserialization component of the scaling ratio
+    val jobKind = if (args.length > 4) args(4) else "full"
     val n = nStr.toInt
     val expected = expectStr.toLong
     val spark = SparkSession.builder()
@@ -37,13 +41,27 @@ object BenchLeg {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.Encoders
-    def job(): Long = Pipeline.extract(spark,
-      spark.read.parquet(turnsPath).as[Schemas.Turn](
-        Encoders.product[Schemas.Turn])).count()
+    def job(): Long = jobKind match {
+      case "scan" =>
+        import spark.implicits._
+        spark.read.parquet(turnsPath)
+          .select("conv_id", "turn_idx", "role", "text")
+          .as[(String, Int, String, String)]
+          .mapPartitions { it =>
+            var chars = 0L
+            it.foreach { case (_, _, _, x) => chars += x.length }
+            Iterator.single(chars)
+          }.reduce(_ + _)
+      case _ => Pipeline.extract(spark,
+        spark.read.parquet(turnsPath).as[Schemas.Turn](
+          Encoders.product[Schemas.Turn])).count()
+    }
     // warm-ups (codegen/JIT — a fresh JVM needs two passes before timings
     // flatten), the first doubling as the determinism gate: every
     // parallelism level must produce the identical triple count
-    require(job() == expected, s"nondeterministic triple count at local[$n]")
+    if (jobKind == "full")
+      require(job() == expected, s"nondeterministic triple count at local[$n]")
+    else job()
     job()
     val times = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9

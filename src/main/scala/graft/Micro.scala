@@ -15,7 +15,8 @@ object Micro {
     // platform around it (thread pool vs Spark scan/encoder/scheduler)
     def work(slice: Array[graft.Schemas.Turn]): Long = {
       var triples = 0L
-      slice.foreach { t => triples += graft.Pipeline.extractTurn(model, t).size }
+      slice.foreach { t => triples += graft.Pipeline
+        .extractTurn(model, t.conv_id, t.turn_idx, t.role, t.text).size }
       triples
     }
     // warmup

@@ -33,30 +33,45 @@ object Pipeline {
     * limiter for this workload) and dragged 1→4 efficiency to 0.70 vs
     * the 1.00 Spark-free control. Fused, only the (sparse) Triple rows
     * ever meet an encoder. */
-  def extractTurn(model: Detector.Model, t: Turn): Seq[Triple] = {
-    val toks = graft.functions.PyText.tokenizeWithOffsets(t.text)
-    val tags = Detector.tagTokens(model, t.text, toks)
+  def extractTurn(model: Detector.Model, convId: String, turnIdx: Int,
+      role: String, text: String): Seq[Triple] = {
+    val toks = graft.functions.PyText.tokenizeWithOffsets(text)
+    val tags = Detector.tagTokens(model, text, toks)
     val ents = Decode.meSubstitute(
-      Decode.decodeEntities(t.text,
+      Decode.decodeEntities(text,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(tags)),
-      if (t.role == null) "" else t.role)
-    Triples.emit(t.conv_id, t.turn_idx, Triples.structuredResult(ents),
+      if (role == null) "" else role)
+    Triples.emit(convId, turnIdx, Triples.structuredResult(ents),
       "gazetteer:ac")
   }
+
+  def extractTurn(model: Detector.Model, t: Turn): Seq[Triple] =
+    extractTurn(model, t.conv_id, t.turn_idx, t.role, t.text)
 
   /** turns -> triples (pre-canonicalization). ONE narrow `mapPartitions`
     * end-to-end (zero shuffles, zero intermediate encoder round-trips —
     * see [[extractTurn]]); equivalent to
     * `Triples.triples(Decode.decode(Detector.detect(...)))` stage by
-    * stage (DecodeSpec/ParitySpec pin the equivalence). */
+    * stage (DecodeSpec/ParitySpec pin the equivalence).
+    *
+    * The typed boundary is PRUNED to the four columns the hot path reads
+    * (conv_id, turn_idx, role, text): over a parquet source Catalyst
+    * pushes the projection into the scan (`tool` and the timestamp column
+    * are never decompressed), and the per-row deserializer builds a
+    * 4-field tuple instead of a 6-field Turn with a java.sql.Timestamp
+    * conversion — both pure allocation-rate wins on the scaling-critical
+    * path. */
   def extract(spark: SparkSession, turns: Dataset[Turn]): Dataset[Triple] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
-    turns.mapPartitions { it =>
-      val model = bc.value // dereferenced once per partition
-      it.flatMap(t => extractTurn(model, t))
-    }
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        val model = bc.value // dereferenced once per partition
+        it.flatMap { case (c, i, r, x) => extractTurn(model, c, i, r, x) }
+      }
   }
 
   /** turns -> decoded turns (exposed for linking/coref stages). */

@@ -119,11 +119,19 @@ object Canonicalize {
   }
 
   /**
-   * G2: connected components by iterative min-label propagation.
+   * G2: connected components by min-label propagation PLUS per-round
+   * pointer jumping (shortcutting): after the neighbor-min step, each
+   * vertex also adopts `label(label(v))` — the component label is always
+   * itself a vertex id, so the previous round's map doubles the effective
+   * propagation distance. Rounds needed drop from O(diameter) (a chain
+   * a→b→c→… of length 40 would silently exceed a 20-round budget) to
+   * O(log diameter). Convergence is DETECTED (no label changed in either
+   * step) and hitting maxIter while still changing THROWS — wrong
+   * components must never come back silently.
    * vertices: one column `id`; edges: (src, dst). Returns (id, component).
    */
   def connectedComponents(spark: SparkSession, vertices: DataFrame,
-      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+      edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
@@ -132,22 +140,39 @@ object Canonicalize {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (a) neighbor-min propagation
       val candidates = sym
         .join(labels, sym("u") === labels("id"))
         .groupBy(col("v").as("id2"))
         .agg(min("component").as("cand"))
-      val next = labels
+      val propagated = labels
         .join(candidates, labels("id") === candidates("id2"), "left")
-        .select(labels("id"),
+        .select(labels("id").as("id"),
           least(col("component"), coalesce(col("cand"), col("component")))
             .as("component"),
           (col("cand").isNotNull && col("cand") < col("component"))
+            .as("chg_prop"))
+      // (b) shortcutting: component := min(component, prevLabel(component))
+      val lookup = labels.select(col("id").as("pid"),
+        col("component").as("pcomp"))
+      val next = propagated
+        .join(lookup, propagated("component") === lookup("pid"), "left")
+        .select(propagated("id"),
+          least(propagated("component"),
+            coalesce(col("pcomp"), propagated("component"))).as("component"),
+          (propagated("chg_prop") ||
+            (col("pcomp").isNotNull && col("pcomp") < propagated("component")))
             .as("changed"))
         .localCheckpoint() // cut lineage every iteration
       converged = next.where(col("changed")).limit(1).count() == 0
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component labels were still changing (graph diameter beyond " +
+          "the doubling budget, or a livelock bug); results would be wrong")
     labels
   }
 

@@ -71,6 +71,75 @@ object Decode {
     if (out == null) Seq.empty else out.toSeq
   }
 
+  /**
+   * Subword-accurate decode (reference src/prod.py:52-117 over REAL HF
+   * word_ids/offsets): the engine's native tokens are whole words (so
+   * [[decodeEntities]] suffices internally), but a user replaying
+   * reference fixtures has WordPiece subtokens where one word spans
+   * several subtokens and special tokens carry word_id = None. Exact
+   * reference semantics:
+   *
+   *  - subtokens with word_id = None ([CLS]/[SEP]/pad) are SKIPPED
+   *    (prod.py:56-57); encode None as -1 here;
+   *  - only the FIRST subtoken of each word is consulted for its tag
+   *    (prod.py:59, `word_idx != previous_word_idx`);
+   *  - while an entity is open, its end extends to the end of the
+   *    CURRENT WORD — the forward cursor scan over the remaining
+   *    subtokens of the same word (prod.py:100-105), NOT just the first
+   *    subtoken's end;
+   *  - same open/extend/close quirks as [[decodeEntities]] (adjacent
+   *    same-tag entities merge; trailing entity flushed).
+   *
+   * @param wordIds  per-subtoken word index, -1 for None
+   * @param starts   per-subtoken char start offsets
+   * @param ends     per-subtoken char end offsets
+   * @param tags     per-subtoken predicted tag strings ("O" default;
+   *                 only first-subtoken tags are ever read)
+   */
+  def decodeSubword(text: String, wordIds: Array[Int], starts: Array[Int],
+      ends: Array[Int], tags: Array[String]): Seq[Entity] = {
+    var out: scala.collection.mutable.ArrayBuffer[Entity] = null
+    @inline def push(tag: String, s: Int, e: Int): Unit = {
+      if (out == null) out = new scala.collection.mutable.ArrayBuffer[Entity](4)
+      out += Entity(tag, text.substring(s, e), s, e)
+    }
+    var curTag: String = null
+    var curStart = 0
+    var curEnd = 0
+    var prevWord = Int.MinValue // previous word_id INCLUDING -1 rounds skipped
+    var i = 0
+    while (i < wordIds.length) {
+      val w = wordIds(i)
+      if (w != -1) {
+        if (w != prevWord) {
+          val tag = tags(i)
+          if (tag != "O") {
+            if (curTag == null || tag != curTag) {
+              if (curTag != null) push(curTag, curStart, curEnd)
+              curTag = tag; curStart = starts(i); curEnd = ends(i)
+            }
+            // same tag: entity continues; end set by the word-end scan below
+          } else if (curTag != null) {
+            push(curTag, curStart, curEnd)
+            curTag = null
+          }
+          if (curTag != null) {
+            // word-end extension (prod.py:100-105): cursor to the last
+            // subtoken of THIS word; the open entity ends there
+            var cursor = i
+            while (cursor + 1 < wordIds.length && wordIds(cursor + 1) == w)
+              cursor += 1
+            curEnd = ends(cursor)
+          }
+        }
+        prevWord = w
+      }
+      i += 1
+    }
+    if (curTag != null) push(curTag, curStart, curEnd)
+    if (out == null) Seq.empty else out.toSeq
+  }
+
   /** Me-substitution (D3): first-person mention -> speaker. */
   def meSubstitute(entities: Seq[Entity], speaker: String): Seq[Entity] =
     entities.map { e =>

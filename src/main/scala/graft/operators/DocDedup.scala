@@ -111,21 +111,30 @@ object DocDedup {
     * shingle guard bounds the candidate count). */
   def ngramCandidates(documents: DataFrame, k: Int,
       maxShingleDf: Int): DataFrame = {
+    // LAZY df guard: the old form ran two eager actions (hot.count() +
+    // take(5)) at DataFrame-CONSTRUCTION time — two extra passes over the
+    // shingle index per call even when nothing was dropped, and Spark
+    // jobs fired from inside plan-building code paths (explain/audit).
+    // Now the drop is detected inside the main action's own pass: each
+    // dropped shingle bumps a named accumulator (Spark-UI-visible) and
+    // logs a WARN from the executor — no extra job, no silent truncation.
+    val dropped = documents.sparkSession.sparkContext
+      .longAccumulator("ngramJaccard.hotShinglesDropped")
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
       .where(col("sh") =!= "")
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val hot = dfs.where(col("df") > maxShingleDf)
-    val nHot = hot.count()
-    if (nHot > 0) {
-      val top = hot.orderBy(col("df").desc).take(5)
-        .map(r => s"'${r.getString(0)}'(${r.getLong(1)})").mkString(", ")
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccardPairs: dropping $nHot shingles with df > " +
-          s"$maxShingleDf from candidate generation: $top")
-    }
-    val shCold = sh.join(dfs.where(col("df") <= maxShingleDf).select("sh"),
-      "sh")
+    val coldSh = dfs.filter { r =>
+      val isHot = r.getLong(1) > maxShingleDf
+      if (isHot) {
+        dropped.add(1L)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.DocDedup").warn(
+          s"ngramJaccardPairs: dropping shingle '${r.getString(0)}' " +
+            s"(df=${r.getLong(1)} > $maxShingleDf) from candidate generation")
+      }
+      !isHot
+    }.select("sh")
+    val shCold = sh.join(coldSh, "sh")
     shCold.as("a").join(shCold.as("b"), Seq("sh"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -33,13 +33,24 @@ object LabelAlign {
         col("t.tok_start") >= col("s.ner_start") &&
         col("t.tok_end") <= col("s.ner_end"),
       "left_outer")
-    // first matching span wins (reference break at tokenize.py:27-34):
-    // order spans per token by (ner_start, ner_end) and keep row 1
-    val w = Window.partitionBy(col("t.doc"), col("t.pos"))
-      .orderBy(col("s.ner_start").asc_nulls_last, col("s.ner_end").asc_nulls_last)
+    // first matching span wins (reference break at tokenize.py:27-34).
+    // The reference iterates the NER LIST in order — if the spans carry
+    // their list position (`ner_idx`, emitted by VideoPipeline.spanRows),
+    // that is the tiebreak; otherwise fall back to (ner_start, ner_end)
+    // (identical whenever spans don't overlap).
+    val ord =
+      if (spans.columns.contains("ner_idx"))
+        Seq(col("s.ner_idx").asc_nulls_last)
+      else Seq(col("s.ner_start").asc_nulls_last,
+        col("s.ner_end").asc_nulls_last)
+    val w = Window.partitionBy(col("t.doc"), col("t.pos")).orderBy(ord: _*)
     val first = joined.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-    // W4: first subtoken of each word carries the label; others -100
+    // W4: first subtoken of each word carries the label; non-first
+    // subtokens and special tokens (word_id null = HF word_id None,
+    // tokenize.py:22-23) get the -100 sentinel. `previous_word_id`
+    // updates UNCONDITIONALLY in the reference (including None rows), so
+    // a plain lag is the exact transcription.
     val wWord = Window.partitionBy(col("doc")).orderBy(col("pos"))
     first.select(col("t.doc").as("doc"), col("t.pos").as("pos"),
       col("t.word_id").as("word_id"), col("s.tag").as("tag"))
@@ -47,7 +58,8 @@ object LabelAlign {
         lag("word_id", 1).over(wWord).isNull ||
           lag("word_id", 1).over(wWord) =!= col("word_id"))
       .withColumn("label_id",
-        when(!col("first_subtok"), lit(-100))
+        when(col("word_id").isNull, lit(-100))
+          .when(!col("first_subtok"), lit(-100))
           .when(col("tag").isNull, lit(0))
           .otherwise(coalesce(tagId(col("tag")), lit(0))))
       .select("doc", "pos", "label_id")

@@ -63,11 +63,39 @@ object VideoPipeline {
       .select(col("doc"), col("pos"), col("pos").as("word_id"),
         col("col.start").as("tok_start"), col("col.end").as("tok_end"))
 
-  /** Spans in LabelAlign shape. */
+  /** Spans in LabelAlign shape; `ner_idx` preserves the NER list order
+    * (the reference's first-match-wins tiebreak, tokenize.py:27-34). */
   def spanRows(docs: DataFrame, docKey: String): DataFrame =
-    docs.select(col(docKey).as("doc"), explode(col("ner")).as("n"))
-      .select(col("doc"), col("n.start").as("ner_start"),
-        col("n.end").as("ner_end"), col("n.type").as("tag"))
+    docs.select(col(docKey).as("doc"), posexplode(col("ner")))
+      .select(col("doc"), col("pos").as("ner_idx"),
+        col("col.start").as("ner_start"),
+        col("col.end").as("ner_end"), col("col.type").as("tag"))
+
+  /**
+   * Fetch-stage span validation (reference src/data/database.py:103-118
+   * `validate_ner_indices`): every NER span must slice its source text
+   * (title if source == 'title', else description) to exactly `entry`.
+   * Returns the VIOLATION rows
+   * `(yt_id, ner_idx, source, start, end, expected, got)` — empty on a
+   * clean corpus; callers log/alert on `count() > 0` (the reference
+   * logs a warning per mismatch). Entirely row-local (explode + substring)
+   * — no shuffle, runs at fetch-scan parallelism.
+   */
+  def validateSpans(videos: DataFrame): DataFrame =
+    videos
+      .select(col("yt_id"), col("title"), col("description"),
+        posexplode(col("ner")))
+      .select(col("yt_id"), col("pos").as("ner_idx"),
+        col("col.source").as("source"),
+        col("col.start").as("start"), col("col.end").as("end"),
+        col("col.entry").as("expected"),
+        // substr() is 1-based and length-bound, matching Python's
+        // source[start:end] for 0 <= start <= end <= len(source)
+        when(col("col.source") === "title", col("title"))
+          .otherwise(col("description"))
+          .substr(col("col.start") + 1, col("col.end") - col("col.start"))
+          .as("got"))
+      .where(col("got").isNull || col("got") =!= col("expected"))
 
   /** Full training-prep: preprocess -> tokenize -> label align (D8). */
   def prepare(spark: SparkSession, videos: DataFrame): DataFrame = {

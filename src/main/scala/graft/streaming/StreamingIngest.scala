@@ -29,9 +29,13 @@ object StreamingIngest {
     turns
       .withWatermark("ts", watermark)
       .dropDuplicates("conv_id", "turn_idx")
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .as[(String, Int, String, String)]
       .mapPartitions { it =>
         val model = bc.value
-        it.flatMap(t => graft.Pipeline.extractTurn(model, t))
+        it.flatMap { case (c, i, r, x) =>
+          graft.Pipeline.extractTurn(model, c, i, r, x)
+        }
       }
   }
 

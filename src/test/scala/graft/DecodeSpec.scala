@@ -82,4 +82,47 @@ class DecodeSpec extends SparkSuite {
       ("d1", "TITLE", 4, 12), ("d1", "VOCALOID", 16, 20),
       ("d2", "ALBUM", 0, 5), ("d2", "ALBUM", 9, 14)))
   }
+
+  test("subword decode: multi-subtoken words, word-end extension, -100-path (prod.py:52-117)") {
+    // "Senbonzakura by Hatsune Miku" as HF-style subtokens:
+    // [CLS] Senbon zakura by Hat sune Mi ku [SEP]
+    val text = "Senbonzakura by Hatsune Miku"
+    val wordIds = Array(-1, 0, 0, 1, 2, 2, 3, 3, -1)
+    val starts = Array(0, 0, 6, 13, 16, 19, 24, 26, 0)
+    val ends = Array(0, 6, 12, 15, 19, 23, 26, 28, 0)
+    // only FIRST-subtoken tags are consulted; the continuation subtoken
+    // 'zakura' deliberately carries a non-O tag that must be IGNORED
+    val tags = Array("O", "TITLE", "ALBUM", "O", "VOCALIST", "O",
+      "VOCALIST", "O", "O")
+    val ents = Decode.decodeSubword(text, wordIds, starts, ends, tags)
+    // TITLE opens at Senbon[0,6) and extends to the WORD end (12), not
+    // the subtoken end; VOCALIST spans two words (adjacent same-tag
+    // merge), each extended to its word end -> [16,28)
+    assert(ents == Seq(
+      Schemas.Entity("TITLE", "Senbonzakura", 0, 12),
+      Schemas.Entity("VOCALIST", "Hatsune Miku", 16, 28)))
+  }
+
+  test("subword decode: entity closed by O on a later word's first subtoken") {
+    val text = "Melt now"
+    // Melt = Me/lt (word 0), now (word 1, tag O)
+    val ents = Decode.decodeSubword(text,
+      Array(0, 0, 1), Array(0, 2, 5), Array(2, 4, 8),
+      Array("TITLE", "O", "O"))
+    assert(ents == Seq(Schemas.Entity("TITLE", "Melt", 0, 4)))
+  }
+
+  test("subword decode == whole-word decode when every word is one subtoken") {
+    val model = Detector.buildModel()
+    (0L until 30L).flatMap(c => graft.synth.TranscriptGen.turnsOfConv(42L, c, 8))
+      .foreach { t =>
+        val tk = PyText.tokenizeWithOffsets(t.text)
+        val tags = Detector.tagTokens(model, t.text, tk)
+        val whole = Decode.decodeEntities(t.text, tk.toIndexedSeq, tags.toIndexedSeq)
+        val sub = Decode.decodeSubword(t.text,
+          Array.tabulate(tk.length)(identity),
+          tk.map(_.start), tk.map(_.end), tags)
+        assert(sub == whole, s"diverged on: ${t.text}")
+      }
+  }
 }

@@ -111,6 +111,50 @@ class DocOpsSpec extends SparkSuite {
     assert(recall > 0.2, s"recall $recall suspiciously low")
   }
 
+  test("LSH cosine pairs: planted known-cosine pairs, exact verification") {
+    import spark.implicits._
+    val dim = 64
+    // pair k lives in its own orthogonal plane (axes 2k, 2k+1):
+    // u = e_{2k}, v = c*e_{2k} + sqrt(1-c^2)*e_{2k+1}  =>  cos(u,v) = c
+    // exactly, and cross-pair cosines are 0 by construction
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](dim); a(axis) = 1f; a
+    }
+    def mix(a1: Int, a2: Int, c: Double): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(a1) = c.toFloat; a(a2) = math.sqrt(1 - c * c).toFloat; a
+    }
+    val cs = Seq(0.99, 0.97, 0.95, 0.70, 0.30)
+    val pairs = cs.zipWithIndex.flatMap { case (c, k) =>
+      Seq((k.toLong, unit(2 * k)), (k + 100L, mix(2 * k, 2 * k + 1, c)))
+    }
+    // deterministic hash-noise fillers keep the band buckets non-trivial
+    def h(i: Int, j: Int): Float = {
+      var z = (i.toLong * 1000003L + j) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z >>> 40).toInt / 16777216.0f) - 0.5f
+    }
+    val noise = (0 until 20).map(i =>
+      ((1000 + i).toLong, Array.tabulate(dim)(j => h(i, j))))
+    val emb = (pairs ++ noise).toDF("vec_id", "embedding")
+    val got = Similarity.lshCosinePairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision 1.0: exact verification admits nothing below threshold
+    assert(got.forall(_._3 >= 0.9), got.mkString(", "))
+    val ids = got.map(t => (t._1, t._2)).toSet
+    // recall on the high-cosine plants (deterministic: seeded hyperplanes)
+    assert(ids((0L, 100L)) && ids((1L, 101L)) && ids((2L, 102L)),
+      s"missing planted pairs in $ids")
+    // sub-threshold plants can NEVER appear (exact verify), regardless of
+    // how many bands they collide in
+    assert(!ids((3L, 103L)) && !ids((4L, 104L)))
+    // reported cosine == constructed cosine (float32 inputs, 6dp rounding)
+    val cosOf = got.map(t => (t._1, t._2) -> t._3).toMap
+    Seq((0L, 100L, 0.99), (1L, 101L, 0.97), (2L, 102L, 0.95)).foreach {
+      case (a, b, c) => assert(math.abs(cosOf((a, b)) - c) < 1e-4)
+    }
+  }
+
   test("text analysis: counts, ratios, quality, langid, fingerprint") {
     val out = TextAnalysis.analyze(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -50,6 +50,23 @@ class KgStagesSpec extends SparkSuite {
       "d" -> "d", "e" -> "d", "f" -> "f"))
   }
 
+  test("connected components: 60-node chain converges (shortcutting), short budget throws") {
+    import spark.implicits._
+    // a chain's diameter (59) exceeds the old 20-round propagation
+    // budget, which returned WRONG components silently; pointer jumping
+    // converges in O(log n) rounds and non-convergence now throws
+    val n = 60
+    val verts = (0 until n).map(i => f"v$i%03d").toDF("id")
+    val edges = (0 until n - 1).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
+      .toDF("src", "dst")
+    val comps = Canonicalize.connectedComponents(spark, verts, edges)
+      .select("component").distinct().collect().map(_.getString(0)).toSeq
+    assert(comps == Seq("v000"))
+    assertThrows[IllegalStateException] {
+      Canonicalize.connectedComponents(spark, verts, edges, maxIter = 2)
+    }
+  }
+
   test("canonicalization merges near-alias surfaces; rep by freq/len/lex") {
     import spark.implicits._
     val mentions = Seq(

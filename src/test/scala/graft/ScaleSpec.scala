@@ -83,13 +83,21 @@ class ScaleSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must plan TakeOrderedAndProject:\n$plan")
-    // the full ranked queries must contain NO window at all (a
-    // partitionless WindowExec funnels everything through one task)
-    Seq("q_topk_customers", "q_vocab_topk").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
-    }
+    // assert the PRE-collect plan for the vocab query's distributed part
+    // too (TopK.ranked collects then re-parallelizes, so inspecting the
+    // final ranked DataFrame would be vacuous — it is just a scan of
+    // driver-local rows regardless of how the top-K was computed)
+    val words = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocabPlan = TopK.top(words, 20,
+      Seq(col("cnt").desc, col("word").asc))
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject") &&
+      !vocabPlan.contains("Window"),
+      s"vocab top-K must plan TakeOrderedAndProject, no window:\n$vocabPlan")
   }
 
   test("levenshtein pair query is a blocked equi-join, not a cartesian product") {

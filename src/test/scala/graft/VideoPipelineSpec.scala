@@ -45,6 +45,56 @@ class VideoPipelineSpec extends SparkSuite {
     assert(out.count(_ == 2) == 1) // only the first TITLE word
   }
 
+  test("fetch validation: spans must slice their source to entry (database.py:103-118)") {
+    import spark.implicits._
+    // clean corpus -> zero violations
+    assert(VideoPipeline.validateSpans(videos).count() == 0)
+    // one corrupted span (off-by-one start) + one wrong-source span
+    val corrupted = Seq(
+      ("v2", "Senbonzakura cover", "sung by Miku",
+        Seq((1, 13, "title", "Senbonzakura", "TITLE"), // slices "enbonzakura "
+          (8, 12, "description", "Miku", "VOCALOID"), // clean
+          (0, 4, "title", "Miku", "VOCALOID")))) // title[0:4)="Senb" != Miku
+      .toDF("yt_id", "title", "description", "ner0")
+      .withColumn("ner", transform(col("ner0"), n => struct(
+        n.getField("_1").as("start"), n.getField("_2").as("end"),
+        n.getField("_3").as("source"), n.getField("_4").as("entry"),
+        n.getField("_5").as("type"))))
+      .drop("ner0")
+    val v = VideoPipeline.validateSpans(corrupted)
+      .orderBy("ner_idx").collect()
+    assert(v.length == 2)
+    assert(v(0).getAs[Int]("ner_idx") == 0 &&
+      v(0).getAs[String]("got") == "enbonzakura ")
+    assert(v(1).getAs[Int]("ner_idx") == 2 &&
+      v(1).getAs[String]("got") == "Senb")
+  }
+
+  test("D8/W4 subword alignment: word_id != pos, -100 on continuations and special tokens") {
+    import graft.operators.LabelAlign
+    import spark.implicits._
+    // HF-style subtokens for "Senbonzakura by Miku": [CLS] + Senbon/zakura
+    // + by + Mi/ku + [SEP]; word_id None (null) on the special tokens
+    val tokens = Seq(
+      ("d1", 0, Option.empty[Int], 0, 0), // [CLS]
+      ("d1", 1, Some(0), 0, 6), // Senbon
+      ("d1", 2, Some(0), 6, 12), // zakura (continuation)
+      ("d1", 3, Some(1), 13, 15), // by
+      ("d1", 4, Some(2), 16, 18), // Mi
+      ("d1", 5, Some(2), 18, 20), // ku (continuation)
+      ("d1", 6, Option.empty[Int], 0, 0)) // [SEP]
+      .toDF("doc", "pos", "word_id", "tok_start", "tok_end")
+    val spans = Seq(("d1", 0, 12, "TITLE"), ("d1", 16, 20, "VOCALOID"))
+      .toDF("doc", "ner_start", "ner_end", "tag")
+    val got = LabelAlign.align(spark, tokens, spans)
+      .orderBy("pos").collect().map(_.getInt(2)).toSeq
+    // hand-computed (tokenize.py:13-39): [CLS]->-100, first-subtoken of a
+    // span-covered word -> tag id, continuation -> -100, uncovered -> 0
+    val title = Gazetteer.TagToId("TITLE")
+    val vocaloid = Gazetteer.TagToId("VOCALOID")
+    assert(got == Seq(-100, title, -100, 0, vocaloid, -100, -100))
+  }
+
   test("A1/J5: vocab build deterministic ids; encode with OOV=1") {
     import spark.implicits._
     val docs = Seq(Seq("b", "a", "b", "c"), Seq("b", "a", "zzz"))

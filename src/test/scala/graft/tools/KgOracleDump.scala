@@ -94,8 +94,47 @@ object KgOracleDump {
       java.nio.file.Paths.get("/tmp/kg_mention_tags.sql"),
       oracleTagCounts.toSeq.sortBy(_._1)
         .map { case (t, n) => s"(${sq(t)}, $n)" }.mkString(",\n  "))
+
+    // ---- serving-path oracle (VERDICT r2 item 7): predict() over videos
+    // built from the first two turns of 500 convs — the exact
+    // q_predict_videos fixture. Decode/dedup/structured-result from the
+    // INDEPENDENT ReferenceOracle; tokens/tags from the engine (same
+    // boundary as the KG gates, see SparkEntry comment).
+    val nVid = 500L
+    val predOracle: Seq[(String, String, String)] = (0L until nVid).flatMap { c =>
+      val ts = TranscriptGen.turnsOfConv(42L, c, 8)
+      (ts.find(_.turn_idx == 0).map(_.text),
+        ts.find(_.turn_idx == 1).map(_.text)) match {
+        case (Some(ti), Some(de)) =>
+          val text = ti + " [SEP] " + de
+          val toks = PyText.tokenizeWithOffsets(text).toIndexedSeq
+          val stags = Detector.tagTokens(model, text, toks.toArray).toIndexedSeq
+          val ents = ReferenceOracle.meSubstitute(
+            ReferenceOracle.decode(text, toks, stags), "GraftChannel")
+          ReferenceOracle.structuredResult(ents).toSeq.flatMap {
+            case (tag, es) => es.map(e => (ts.head.conv_id, tag, e))
+          }
+        case _ => Nil
+      }
+    }
+    val engPred = graft.SparkEntry.queries("q_predict_videos")(spark, "/unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    println(s"predict rows MATCH: ${predOracle.sorted == engPred.sorted} " +
+      s"(oracle=${predOracle.size}, engine=${engPred.size})")
+    val predTagCounts = predOracle.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap
+    val predSample = predOracle.sorted.take(50)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/predict_tag_counts.sql"),
+      predTagCounts.toSeq.sortBy(_._1)
+        .map { case (t, n) => s"(${sq(t)}, $n)" }.mkString(",\n  "))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/predict_sample.sql"),
+      predSample.map { case (id, t, e) => s"(${sq(id)}, ${sq(t)}, ${sq(e)})" }
+        .mkString(",\n  "))
     println("wrote /tmp/kg_pred_counts.sql, /tmp/kg_sample.sql, " +
-      "/tmp/kg_mention_tags.sql")
+      "/tmp/kg_mention_tags.sql, /tmp/predict_tag_counts.sql, " +
+      "/tmp/predict_sample.sql")
     spark.stop()
   }
 }

@@ -44,6 +44,12 @@ for name, sql in sorted(oracle.items()):
         a, b = ddf[c], sdf[c]
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                # exact equality on purpose (mirrors the driver); on
+                # mismatch the printout below shows both values so a
+                # 1-ulp rounding difference (Spark round vs DuckDB round
+                # over differently-ordered sums) is recognizable at a
+                # glance — fix those by rounding EARLIER in both queries,
+                # not by loosening this check.
                 bad = ~((a.isna() & b.isna()) | (a == b))
             else:
                 bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
@@ -55,7 +61,11 @@ for name, sql in sorted(oracle.items()):
             mismatch = (c, 'cmp-error', str(e), -1)
             break
     if mismatch:
-        print(f"FAIL {name}: col {mismatch[0]} duckdb={mismatch[1]!r} spark={mismatch[2]!r} nbad={mismatch[3]}")
+        try:
+            delta = f" |delta|={abs(float(mismatch[1]) - float(mismatch[2])):.3e}"
+        except (TypeError, ValueError):
+            delta = ""
+        print(f"FAIL {name}: col {mismatch[0]} duckdb={mismatch[1]!r} spark={mismatch[2]!r} nbad={mismatch[3]}{delta}")
         fail += 1
     else:
         print(f"OK   {name} ({len(ddf)} rows)")
