@@ -211,6 +211,9 @@ object Bench {
     // (each node brings its own memory bandwidth). 2->8 and 8->32 are
     // reported alongside to document the ceiling honestly.
     val legs = scala.collection.mutable.Map[Int, (Double, Seq[Double])]()
+    // Spark-free control results (filled interleaved with legs 1 and 4)
+    var microTps1 = 0.0
+    var microTps4 = 0.0
     // enough timed runs that each leg reaches JIT steady state — JIT
     // warms in wall-time, so the long small-n runs need fewer of them.
     // The full-width 32-leg sees every transient on a shared box and
@@ -246,7 +249,19 @@ object Bench {
         println(s"""{"metric":"legs-only iteration run","legs_sec":$legsJson,""" +
           s""""pair_eff":$pairsJson,"kg_triples":$nTriples}""")
         return
-      case None => Seq(1, 2, 4, 8, 32).foreach(leg)
+      case None =>
+        // the HEADLINE pair (1, 4) is measured INTERLEAVED with its
+        // Spark-free control: leg(1), micro(1), leg(4), micro(4) — the
+        // box's throughput drifts on the order of tens of minutes (shared
+        // Firecracker host), so engine and ceiling must be sampled
+        // adjacently or the kg_vs_platform_ceiling ratio compares two
+        // different machines-in-time (r3 observed the control swing
+        // 0.76 → 1.00 across hours)
+        leg(1)
+        microTps1 = runMicro(1, 5)
+        leg(4)
+        microTps4 = runMicro(4, 5)
+        Seq(2, 8, 32).foreach(leg)
     }
     // sanity gate: a leg polluted by box contention (the driver harness
     // shares this machine) shows up as a pairwise efficiency that is
@@ -266,11 +281,6 @@ object Bench {
     }
     // drop the materialized bench input (a few hundred MB under /tmp)
     cleanupTurns()
-
-    // Spark-free control on the same pinned harness: the platform's own
-    // 1->4 scaling ceiling for this workload
-    val microTps1 = runMicro(1, 5)
-    val microTps4 = runMicro(4, 5)
     val microEff = (microTps4 / microTps1) / 4.0
 
     val (t1, t2, t4, t8, t32) = (sec(1), sec(2), sec(4), sec(8), sec(32))
@@ -301,6 +311,6 @@ object Bench {
         s""""micro_tps_n1":${f"$microTps1%.1f"},"micro_tps_n4":${f"$microTps4%.1f"},""" +
         s""""micro_scaling_efficiency_1_4":${f"$microEff%.3f"},""" +
         s""""kg_vs_platform_ceiling_1_4":${f"${eff / microEff}%.3f"},""" +
-        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap ∝ cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4; micro_* is the Spark-free control (identical hot path, plain thread pool) = this virtualized box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling"}""")
+        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour; micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling"}""")
   }
 }

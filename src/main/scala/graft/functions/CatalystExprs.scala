@@ -20,6 +20,9 @@ object PyTextStatics {
     if (s == null) 0 else PyText.utf16ToCp(s.toString, i)
   def cpToUtf16(s: UTF8String, i: Int): Int =
     if (s == null) 0 else PyText.cpToUtf16(s.toString, i)
+  def fixMojibake(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(PyText.fixMojibake(s.toString))
   def normalizeAscii(s: UTF8String): UTF8String = {
     if (s == null) return null
     // dormant reference capability (src/data/preprocess.py:13-17): NFKD
@@ -82,4 +85,11 @@ object CatalystExprs {
   }
 
   def normalizeAscii(c: Column): Column = toCol(NormalizeAscii(toExpr(c)))
+
+  /** Mojibake repair (see [[PyText.fixMojibake]]) as a codegen'd column
+    * function — run BEFORE normalizeAscii to mirror the reference's
+    * fix_text → NFKD → unidecode order (preprocess.py:13-17). */
+  def fixMojibake(c: Column): Column = toCol(
+    StaticInvoke(staticsClass, StringType, "fixMojibake",
+      Seq(toExpr(c)), returnNullable = true))
 }

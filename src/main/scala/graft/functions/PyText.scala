@@ -259,6 +259,73 @@ object PyText {
     count
   }
 
+  /**
+   * Mojibake repair — the dominant `ftfy.fix_text` case (reference:
+   * src/data/preprocess.py:14, dormant there): UTF-8 bytes that were
+   * decoded as Windows-1252/Latin-1 ("CafÃ©" → "Café", "â€™" → "’"),
+   * including the double-encoded form ("CafÃƒÂ©" → "Café" in two rounds).
+   *
+   * Method: re-encode the string as cp1252 and strictly re-decode as
+   * UTF-8; accept only if both conversions are lossless AND the result is
+   * shorter (real mojibake repair always contracts). Conservative by
+   * construction — "naïve", CJK, and plain ASCII are untouched because
+   * either the cp1252 encode fails, the strict UTF-8 decode fails, or the
+   * length does not shrink. This is a documented APPROXIMATION of ftfy:
+   * segment-wise repair of mixed-encoding strings and the rarer legacy
+   * codepages are out of scope.
+   */
+  def fixMojibake(s: String): String = {
+    if (s == null) return null
+    var cur = s
+    var rounds = 0
+    while (rounds < 2 && looksMojibake(cur)) {
+      val repaired = tryCp1252Utf8Repair(cur)
+      if (repaired == null) return cur
+      cur = repaired
+      rounds += 1
+    }
+    cur
+  }
+
+  // cp1252 renderings of UTF-8 continuation bytes 0x80-0x9F
+  private val cp1252HighPunct =
+    "€‚ƒ„…†‡ˆ‰Š" +
+      "‹ŒŽ‘’“”•–—" +
+      "˜™š›œžŸ"
+
+  /** Cheap signature gate: a cp1252-rendered UTF-8 lead byte (Â..ô)
+    * immediately followed by a cp1252-rendered continuation byte. */
+  private def looksMojibake(s: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (c >= '\u00C2' && c <= '\u00F4') { // cp1252 view of UTF-8 lead bytes
+        val n = s.charAt(i + 1)
+        if ((n >= '\u00A0' && n <= '\u00BF') || // continuation 0xA0-0xBF
+            cp1252HighPunct.indexOf(n) >= 0) // continuation 0x80-0x9F
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** One lossless cp1252-encode → strict-UTF-8-decode round, or null. */
+  private def tryCp1252Utf8Repair(s: String): String = {
+    import java.nio.charset.{Charset, CodingErrorAction, CharacterCodingException}
+    try {
+      val bytes = Charset.forName("windows-1252").newEncoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .encode(java.nio.CharBuffer.wrap(s))
+      val out = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(bytes).toString
+      if (out.length < s.length) out else null
+    } catch { case _: CharacterCodingException => null }
+  }
+
   /** Classic Levenshtein (src/prod.py:158-175); used by per-doc dedup.
     * Spark's built-in `levenshtein` agrees — pinned by DedupSpec. */
   def levenshtein(a: String, b: String): Int = {

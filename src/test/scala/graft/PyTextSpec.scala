@@ -87,4 +87,19 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.levenshtein("abc", "abc") == 0)
     assert(PyText.levenshtein("Melt", "Melt!") == 1)
   }
+
+  test("mojibake repair: cp1252-as-UTF-8, double-encoding, conservative no-ops") {
+    import graft.functions.PyText.fixMojibake
+    assert(fixMojibake("Caf\u00C3\u00A9") == "Caf\u00E9") // CafÃ© -> Café
+    assert(fixMojibake("don\u00E2\u20AC\u2122t") == "don\u2019t") // â€™ -> ’
+    // double-encoded: CafÃƒÂ© -> CafÃ© -> Café (two rounds)
+    assert(fixMojibake("Caf\u00C3\u0192\u00C2\u00A9") == "Caf\u00E9")
+    // conservative: legit accents / CJK / ASCII / unmappable stay put
+    assert(fixMojibake("na\u00EFve caf\u00E9") == "na\u00EFve caf\u00E9")
+    assert(fixMojibake("\u65E5\u672C\u8A9E") == "\u65E5\u672C\u8A9E")
+    assert(fixMojibake("plain ascii!") == "plain ascii!")
+    assert(fixMojibake("Tavaszi Sz\u00E9l") == "Tavaszi Sz\u00E9l")
+    assert(fixMojibake(null) == null)
+    assert(fixMojibake("") == "")
+  }
 }

@@ -129,6 +129,10 @@ class ScaleSpec extends SparkSuite {
     val n = df.where(col("s") === "Tavaszi Szél")
       .select(CatalystExprs.normalizeAscii(col("s"))).head.getString(0)
     assert(n == "Tavaszi Szel")
+    // mojibake repair as a column function (fix_text → NFKD order)
+    val m = Seq("CafÃ©").toDF("s")
+      .select(CatalystExprs.fixMojibake(col("s"))).head.getString(0)
+    assert(m == "Café")
   }
 
   test("streaming ingestion: same triples as batch, duplicates dropped") {
