@@ -35,12 +35,14 @@ object Pipeline {
     * ever meet an encoder. */
   def extractTurn(model: Detector.Model, convId: String, turnIdx: Int,
       role: String, text: String): Seq[Triple] = {
-    val toks = graft.functions.PyText.tokenizeWithOffsets(text)
-    val tags = Detector.tagTokens(model, text, toks)
+    // packed-offset forms: no Token objects, no per-token substrings —
+    // the tokenizer emits start<<32|end longs, the detector aligns on
+    // the boundary arrays, the decoder slices the original text
+    // (equivalence with the object forms pinned by PropertySpec)
+    val offs = graft.functions.PyText.tokenizeOffsetsPacked(text)
+    val tags = Detector.tagTokensPacked(model, text, offs)
     val ents = Decode.meSubstitute(
-      Decode.decodeEntities(text,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(tags)),
+      Decode.decodeEntitiesPacked(text, offs, tags),
       if (role == null) "" else role)
     Triples.emit(convId, turnIdx, Triples.structuredResult(ents),
       "gazetteer:ac")

@@ -220,6 +220,47 @@ object PyText {
     out.toArray
   }
 
+  /**
+   * [[tokenizeWithOffsets]] returning ONLY the offsets, packed
+   * start<<32|end into a primitive long array — the fused extraction
+   * path never reads the token substrings (the detector aligns on
+   * boundaries, the decoder slices the original text), so the Token
+   * object + substring per token (~2 allocations x ~20 tokens x every
+   * turn of the corpus) are pure GC pressure there. Same scanner,
+   * byte-for-byte the same boundaries (pinned by PropertySpec
+   * packed == tokenizeWithOffsets).
+   */
+  def tokenizeOffsetsPacked(text: String): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(text.length / 4 + 4)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      var j = -1
+      if (inA(c)) {
+        j = i + 1
+        while (j < n && inA(text.charAt(j))) j += 1
+      } else if (inB(c)) {
+        j = i + 1
+        while (j < n && inB(text.charAt(j))) j += 1
+      }
+      if (j > 0) {
+        while (j < n && { val s = text.charAt(j); s == '.' || s == '!' }) j += 1
+        out += (i.toLong << 32) | j.toLong
+        i = j
+      } else {
+        val cp = text.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (cp == '\n' || !pyIsSpaceCp(cp))
+          out += (i.toLong << 32) | (i + w).toLong
+        i += w
+      }
+    }
+    out.result()
+  }
+
   /** The direct regex form of [[tokenizeWithOffsets]] (the scanner's
     * equivalence oracle; kept test-reachable, not on the hot path). */
   private[graft] def tokenizeWithOffsetsRegex(text: String): Array[Token] = {

@@ -71,6 +71,43 @@ object Decode {
     if (out == null) Seq.empty else out.toSeq
   }
 
+  /** [[decodeEntities]] over packed start<<32|end token offsets — the
+    * fused extraction path's form (no Token objects; equivalence pinned
+    * by PropertySpec packed == object decode). */
+  def decodeEntitiesPacked(text: String, offs: Array[Long],
+      tags: Array[String]): Seq[Entity] = {
+    var out: scala.collection.mutable.ArrayBuffer[Entity] = null
+    @inline def push(e: Entity): Unit = {
+      if (out == null) out = new scala.collection.mutable.ArrayBuffer[Entity](4)
+      out += e
+    }
+    var curTag: String = null
+    var curStart = 0
+    var curEnd = 0
+    var i = 0
+    while (i < offs.length) {
+      val tag = tags(i)
+      if (tag != "O") {
+        if (curTag == null || tag != curTag) {
+          if (curTag != null)
+            push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
+          curTag = tag
+          curStart = (offs(i) >>> 32).toInt
+          curEnd = offs(i).toInt
+        } else {
+          curEnd = offs(i).toInt // continue: extend to this word's end
+        }
+      } else if (curTag != null) {
+        push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
+        curTag = null
+      }
+      i += 1
+    }
+    if (curTag != null)
+      push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
+    if (out == null) Seq.empty else out.toSeq
+  }
+
   /**
    * Subword-accurate decode (reference src/prod.py:52-117 over REAL HF
    * word_ids/offsets): the engine's native tokens are whole words (so

@@ -55,19 +55,40 @@ object Detector {
     * token alignment uses sorted primitive arrays + binary search and the
     * automaton returns packed longs — no boxing on the per-turn path. */
   def tagTokens(model: Model, text: String, toks: Array[Token]): Array[String] = {
-    val tags = Array.fill(toks.length)("O")
-    if (toks.isEmpty) return tags
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    // boundary arrays for token alignment (token starts/ends are sorted)
     val starts = new Array[Int](toks.length)
-    val ends = new Array[Int](toks.length) // full ends
-    val coreEnds = new Array[Int](toks.length) // ends minus [.!]* suffix
+    val ends = new Array[Int](toks.length)
     var i = 0
     while (i < toks.length) {
-      starts(i) = toks(i).start
-      ends(i) = toks(i).end
-      var e = toks(i).end
-      while (e > toks(i).start &&
+      starts(i) = toks(i).start; ends(i) = toks(i).end; i += 1
+    }
+    tagTokensCore(model, text, starts, ends)
+  }
+
+  /** [[tagTokens]] over packed start<<32|end offsets
+    * ([[graft.functions.PyText.tokenizeOffsetsPacked]]) — the fused
+    * extraction path's form: no Token objects anywhere. */
+  def tagTokensPacked(model: Model, text: String, offs: Array[Long]): Array[String] = {
+    val starts = new Array[Int](offs.length)
+    val ends = new Array[Int](offs.length)
+    var i = 0
+    while (i < offs.length) {
+      starts(i) = (offs(i) >>> 32).toInt; ends(i) = offs(i).toInt; i += 1
+    }
+    tagTokensCore(model, text, starts, ends)
+  }
+
+  private def tagTokensCore(model: Model, text: String,
+      starts: Array[Int], ends: Array[Int]): Array[String] = {
+    val nToks = starts.length
+    val tags = Array.fill(nToks)("O")
+    if (nToks == 0) return tags
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    // boundary arrays for token alignment (token starts/ends are sorted)
+    val coreEnds = new Array[Int](nToks) // ends minus [.!]* suffix
+    var i = 0
+    while (i < nToks) {
+      var e = ends(i)
+      while (e > starts(i) &&
           (text.charAt(e - 1) == '.' || text.charAt(e - 1) == '!')) e -= 1
       coreEnds(i) = e
       i += 1
@@ -112,13 +133,13 @@ object Detector {
         occupiedUntil = e
         val tag = model.tags(pid)
         var k = java.util.Arrays.binarySearch(starts, s)
-        while (k < toks.length && toks(k).end <= e) {
+        while (k < nToks && ends(k) <= e) {
           tags(k) = tag
           k += 1
         }
         // a token whose word-core end == e (match ends before its [.!]*
         // suffix) is still fully claimed by the match
-        if (k < toks.length && toks(k).start < e) tags(k) = tag
+        if (k < nToks && starts(k) < e) tags(k) = tag
       }
       c += 1
     }

@@ -128,6 +128,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packed hot path == object forms: tokenizer offsets, tagger, decoder") {
+    val model = Detector.buildModel()
+    forAll(textGen, n = 400) { text =>
+      val toks = PyText.tokenizeWithOffsets(text)
+      val packed = PyText.tokenizeOffsetsPacked(text)
+      assert(packed.toSeq ==
+        toks.toSeq.map(t => (t.start.toLong << 32) | t.end.toLong),
+        s"offsets diverged on: $text")
+      val tags = Detector.tagTokens(model, text, toks)
+      val tagsP = Detector.tagTokensPacked(model, text, packed)
+      assert(tags.toSeq == tagsP.toSeq, s"tags diverged on: $text")
+      assert(Decode.decodeEntitiesPacked(text, packed, tagsP) ==
+        Decode.decodeEntities(text, toks.toIndexedSeq, tags.toIndexedSeq),
+        s"decode diverged on: $text")
+    }
+  }
+
   test("tokenizer scanner == regex form on random unicode (incl. astral/CJK)") {
     forAll(textGen, n = 400) { text =>
       val a = PyText.tokenizeWithOffsets(text).toSeq

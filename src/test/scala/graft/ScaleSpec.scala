@@ -29,6 +29,19 @@ class ScaleSpec extends SparkSuite {
       s"extract() must stay narrow (detect/decode/dedup/triples are row-local); got:\n$plan")
   }
 
+  test("fused packed extract == staged detect->decode->triples pipeline") {
+    import spark.implicits._
+    import graft.operators.{Decode, Detector, Triples}
+    val turns = TranscriptGen.generate(spark, 40L)
+    val fused = Pipeline.extract(spark, turns).collect()
+      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).sorted.toSeq
+    val bc = spark.sparkContext.broadcast(Detector.buildModel())
+    val staged = Triples.triples(spark,
+      Decode.decode(spark, Detector.detect(spark, turns, bc))).collect()
+      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).sorted.toSeq
+    assert(fused.nonEmpty && fused == staged)
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .where(col("l_orderkey") < 100)
