@@ -220,12 +220,22 @@ object Bench {
     // would burn retries forever; it is informational (documents the
     // ceiling), not the scaling gate, so it gets more runs and no
     // dispersion retry — the min estimator absorbs the outliers.
-    def leg(n: Int): Unit =
-      legs(n) = runLeg(n, turnsPath, nTriples,
+    // leg attempts MERGE: the min across every run of every attempt is
+    // the least-polluted observation (contention only ever adds time), so
+    // re-measuring a leg later can only sharpen it, never bias it
+    def leg(n: Int, runsOverride: Int = -1): Unit = {
+      val (best, times) = runLeg(n, turnsPath, nTriples,
         // 1-2 core JVMs JIT slowly in wall-time terms relative to their
-        // run length — their traces keep descending for ~6 runs
-        runs = if (n <= 2) 7 else if (n <= 8) 6 else 10,
+        // run length — r3 traces were still descending at run 7 (the min
+        // landed on the LAST run twice), so give them 9
+        runs = if (runsOverride > 0) runsOverride
+          else if (n <= 2) 9 else if (n <= 8) 6 else 10,
         maxSpread = if (n >= 32) Double.MaxValue else 2.0)
+      legs.get(n) match {
+        case Some((b0, t0)) => legs(n) = (math.min(b0, best), t0 ++ times)
+        case None => legs(n) = (best, times)
+      }
+    }
     def sec(n: Int) = legs(n)._1
     def pairEff(a: Int, b: Int) = (sec(a) / sec(b)) / (b.toDouble / a)
     def cleanupTurns(): Unit = try {
@@ -239,7 +249,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_LEGS") match {
       case Some(spec) =>
         val ls = spec.split(",").map(_.trim.toInt).toSeq
-        ls.foreach(leg)
+        ls.foreach(n => leg(n))
         val legsJson = ls.map(n => s""""$n":${f"${sec(n)}%.3f"}""")
           .mkString("{", ",", "}")
         val pairsJson = ls.sliding(2).collect { case Seq(a, b) =>
@@ -261,7 +271,16 @@ object Bench {
         microTps1 = runMicro(1, 5)
         leg(4)
         microTps4 = runMicro(4, 5)
-        Seq(2, 8, 32).foreach(leg)
+        Seq(2, 8, 32).foreach(n => leg(n))
+        // SECOND independent attempt for the headline pair + its control,
+        // ~15 min after the first: box throughput drifts on ~10 min
+        // scales (r3 observed the 4-core leg swing 12.4s -> 14.4s within
+        // an evening), and min/max merging means a second sample can only
+        // sharpen the estimate
+        leg(1, runsOverride = 5)
+        microTps1 = math.max(microTps1, runMicro(1, 3))
+        leg(4, runsOverride = 5)
+        microTps4 = math.max(microTps4, runMicro(4, 3))
     }
     // sanity gate: a leg polluted by box contention (the driver harness
     // shares this machine) shows up as a pairwise efficiency that is
@@ -311,6 +330,6 @@ object Bench {
         s""""micro_tps_n1":${f"$microTps1%.1f"},"micro_tps_n4":${f"$microTps4%.1f"},""" +
         s""""micro_scaling_efficiency_1_4":${f"$microEff%.3f"},""" +
         s""""kg_vs_platform_ceiling_1_4":${f"${eff / microEff}%.3f"},""" +
-        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour; micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling"}""")
+        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour, and the headline pair + control get a SECOND independent attempt later in the run (legs merge by min time, control by max tps - both estimate the quiet-box value); micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling"}""")
   }
 }
