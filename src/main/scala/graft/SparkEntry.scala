@@ -331,6 +331,53 @@ object SparkEntry {
       // hash-checked gates on this path are q_predict_tag_counts and
       // q_predict_sample below)
       VideoPipeline.predict(s, predictVideos(s))),
+    "q_validate_spans" -> ((s, d) => {
+      // fetch-validation gate (database.py:103-118): a deterministic
+      // video fixture with two PLANTED corrupted spans (v2) and one
+      // clean video (v1) — the gate must report exactly the violations
+      import s.implicits._
+      val vids = Seq(
+        ("v1", "Senbonzakura cover", "sung by Miku",
+          Seq((0, 12, "title", "Senbonzakura", "TITLE"),
+            (8, 12, "description", "Miku", "VOCALOID"))),
+        ("v2", "Senbonzakura cover", "sung by Miku",
+          Seq((1, 13, "title", "Senbonzakura", "TITLE"),
+            (8, 12, "description", "Miku", "VOCALOID"),
+            (0, 4, "title", "Miku", "VOCALOID"))))
+        .toDF("yt_id", "title", "description", "ner0")
+        .withColumn("ner", transform(col("ner0"), n => struct(
+          n.getField("_1").as("start"), n.getField("_2").as("end"),
+          n.getField("_3").as("source"), n.getField("_4").as("entry"),
+          n.getField("_5").as("type"))))
+        .drop("ner0")
+      VideoPipeline.validateSpans(vids)
+    }),
+    "q_decode_subword" -> ((s, d) => {
+      // subword-accurate decode gate (prod.py:52-117 over HF-style
+      // word_ids/offsets): multi-subtoken words, special tokens,
+      // word-end extension — the DecodeSpec fixture as a driver gate
+      import s.implicits._
+      val text = "Senbonzakura by Hatsune Miku"
+      val wordIds = Array(-1, 0, 0, 1, 2, 2, 3, 3, -1)
+      val starts = Array(0, 0, 6, 13, 16, 19, 24, 26, 0)
+      val ends = Array(0, 6, 12, 15, 19, 23, 26, 28, 0)
+      val tags = Array("O", "TITLE", "ALBUM", "O", "VOCALIST", "O",
+        "VOCALIST", "O", "O")
+      Decode.decodeSubword(text, wordIds, starts, ends, tags)
+        .map(e => ("d1", e.tag, e.text, e.start, e.end))
+        .toDF("doc", "tag", "entity", "start", "end")
+    }),
+    "q_connected_components" -> ((s, d) => {
+      // G2 gate: a 6-node chain (diameter past naive small budgets),
+      // a 2-node component and an isolate — deterministic min-label
+      // components checked against a VALUES oracle
+      import s.implicits._
+      val verts = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
+        .toDF("id")
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("e", "f"), ("g", "h")).toDF("src", "dst")
+      Canonicalize.connectedComponents(s, verts, edges)
+    }),
     "q_predict_tag_counts" -> ((s, d) =>
       // serving-path VALUES gate: per-tag entity counts, minted by
       // KgOracleDump from the independent ReferenceOracle (500 convs
@@ -720,6 +767,20 @@ object SparkEntry {
   ('conv00000000', 34, 'Marble Soda Sky', 'performed_by', 'Kenshi Yonezu'),
   ('conv00000000', 35, 'Paper Moon Waltz', 'modifier', 'Cover'),
   ('conv00000000', 35, 'Paper Moon Waltz', 'performed_by', 'wowaka')) AS t(conv_id, turn_idx, subj, pred, obj)""",
+    "q_validate_spans" ->
+      """SELECT * FROM (VALUES
+  ('v2', 0, 'title', 1, 13, 'Senbonzakura', 'enbonzakura '),
+  ('v2', 2, 'title', 0, 4, 'Miku', 'Senb'))
+         AS t(yt_id, ner_idx, source, start, "end", expected, got)""",
+    "q_decode_subword" ->
+      """SELECT * FROM (VALUES
+  ('d1', 'TITLE', 'Senbonzakura', 0, 12),
+  ('d1', 'VOCALIST', 'Hatsune Miku', 16, 28))
+         AS t(doc, tag, entity, start, "end")""",
+    "q_connected_components" ->
+      """SELECT * FROM (VALUES
+  ('a', 'a'), ('b', 'a'), ('c', 'a'), ('d', 'a'), ('e', 'a'), ('f', 'a'),
+  ('g', 'g'), ('h', 'g'), ('i', 'i')) AS t(id, component)""",
     "q_predict_tag_counts" ->
       """SELECT tag, n::BIGINT AS n FROM (VALUES
   ('ALBUM', 181),
