@@ -38,6 +38,19 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Canonical alias map shared by q_kg_nodes / q_kg_edges (same
+    * pattern and rationale as [[decodedPrefix]]). */
+  private val canonCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long), DataFrame]()
+  private def canonPrefix(s: SparkSession, n: Long): DataFrame =
+    canonCache.computeIfAbsent((s, n), { key =>
+      val dict = key._1.sparkContext.broadcast(Linker.buildDict())
+      val linked = Linker.link(key._1,
+        Decode.mentions(key._1, decodedPrefix(key._1, key._2)), dict).toDF()
+      Canonicalize.canonicalMap(key._1, linked)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Pre-materialize the shared KG prefixes (bench warm-up hook) so each
     * timed q_kg_* query measures its OWN stage, not the shared decode. */
   def warmKgPrefix(s: SparkSession, dir: String): Unit = {
@@ -413,15 +426,20 @@ object SparkEntry {
       Coref.triples(s, Coref.resolve(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d)))).toDF()),
     "q_kg_nodes" -> ((s, d) => {
-      val dict = s.sparkContext.broadcast(Linker.buildDict())
-      val linked = Linker.link(s, Decode.mentions(s,
-        decodedPrefix(s, TranscriptGen.convsForSfDir(d))), dict).toDF()
       // scalar columns only: the driver's rows-only pandas check cannot
       // sort an array<string> column, so the alias list is flattened
-      Canonicalize.nodes(s, Canonicalize.canonicalMap(s, linked)).toDF()
+      Canonicalize.nodes(s,
+        canonPrefix(s, TranscriptGen.convsForSfDir(d))).toDF()
         .select(col("node_id"), col("canonical"), col("type"),
           concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
     }),
+    "q_kg_edges" -> ((s, d) =>
+      // G4b: triples rewritten onto canonical node ids (rows-only gate;
+      // the endpoint-resolution logic itself is pinned by KgStagesSpec)
+      Canonicalize.edges(s,
+        Triples.triples(s, decodedPrefix(s, TranscriptGen.convsForSfDir(d))),
+        canonPrefix(s, TranscriptGen.convsForSfDir(d))).toDF()
+        .select("src_id", "pred", "dst_id", "conv_id", "turn_idx")),
     "q_kg_pred_counts" -> ((s, d) => {
       // driver-checkable KG gate: per-predicate triple counts, compared
       // against VALUES literals computed by the INDEPENDENT
