@@ -44,7 +44,7 @@ object Pipeline {
     val ents = Decode.meSubstitute(
       Decode.decodeEntitiesPacked(text, offs, tags),
       if (role == null) "" else role)
-    Triples.emit(convId, turnIdx, Triples.structuredResult(ents),
+    Triples.emitArrays(convId, turnIdx, Triples.structuredArrays(ents),
       "gazetteer:ac")
   }
 

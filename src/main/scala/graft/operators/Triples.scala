@@ -31,6 +31,25 @@ object Triples {
 
   private val resultTags = Seq("ORIGINAL_AUTHOR", "TITLE", "FEATURING",
     "MODIFIER", "VOCALOID", "MISC_PERSON", "VOCALIST", "ALT_TITLE", "ALBUM")
+  // fixed tag positions for the array-indexed hot path
+  private val resultTagArr = resultTags.toArray
+  private final val IOrig = 0; private final val ITitle = 1
+  private final val IFeat = 2; private final val IMod = 3
+  private final val IVocaloid = 4; private final val IMisc = 5
+  private final val IVocalist = 6; private final val IAlt = 7
+  private final val IAlbum = 8
+  @inline private def tagIdx(tag: String): Int = tag match {
+    case "ORIGINAL_AUTHOR" => IOrig
+    case "TITLE" => ITitle
+    case "FEATURING" => IFeat
+    case "MODIFIER" => IMod
+    case "VOCALOID" => IVocaloid
+    case "MISC_PERSON" => IMisc
+    case "VOCALIST" => IVocalist
+    case "ALT_TITLE" => IAlt
+    case "ALBUM" => IAlbum
+    case _ => -1 // non-result tags are dropped (reference reads only these 9)
+  }
 
   /** Per-tag dedup + modifier normalization: the reference's structured
     * result as a Map(tag -> entity list), reference order preserved.
@@ -46,49 +65,81 @@ object Triples {
     // fast path: most turns of a real corpus carry no entities at all —
     // share one immutable empty result instead of rebuilding it per turn
     if (entities.isEmpty) return emptyResult
-    val grouped = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+    val arr = structuredArrays(entities)
+    resultTags.zipWithIndex.map { case (t, i) => t -> arr(i) }.toMap
+  }
+
+  private val emptyArrays: Array[Seq[String]] =
+    Array.fill(9)(Seq.empty[String])
+
+  /** The array-indexed form of [[structuredResult]] (index = fixed
+    * position of the tag in the reference's 9-tag result, see tagIdx) —
+    * the fused hot path's form: one pass, no per-turn Map/HashMap. The
+    * Map form above delegates here, so there is one dedup/normalize
+    * implementation. */
+  def structuredArrays(entities: Seq[Entity]): Array[Seq[String]] = {
+    if (entities.isEmpty) return emptyArrays
+    val grouped = new Array[scala.collection.mutable.ArrayBuffer[String]](9)
     entities.foreach { e =>
-      var b = grouped.get(e.tag)
-      if (b == null) {
-        b = new scala.collection.mutable.ArrayBuffer[String](4)
-        grouped.put(e.tag, b)
+      val i = tagIdx(e.tag)
+      if (i >= 0) {
+        var b = grouped(i)
+        if (b == null) {
+          b = new scala.collection.mutable.ArrayBuffer[String](4)
+          grouped(i) = b
+        }
+        b += e.text
       }
-      b += e.text
     }
-    val base = resultTags.map { tag =>
-      val l = grouped.get(tag)
-      tag -> (if (l == null) Seq.empty[String]
-              else GreedyDedup.filterUniqueEntities(l.toSeq))
-    }.toMap
-    val mods = base("MODIFIER")
-      .map(m => Gazetteer.ModifierLemmas.getOrElse(
-        m.toLowerCase(java.util.Locale.ROOT),
-        m.toLowerCase(java.util.Locale.ROOT)))
-      .map(PyText.pyTitle)
-    base.updated("MODIFIER", mods)
+    val out = new Array[Seq[String]](9)
+    var i = 0
+    while (i < 9) {
+      out(i) = if (grouped(i) == null) Seq.empty[String]
+        else GreedyDedup.filterUniqueEntities(grouped(i).toSeq)
+      i += 1
+    }
+    if (out(IMod).nonEmpty)
+      out(IMod) = out(IMod)
+        .map(m => Gazetteer.ModifierLemmas.getOrElse(
+          m.toLowerCase(java.util.Locale.ROOT),
+          m.toLowerCase(java.util.Locale.ROOT)))
+        .map(PyText.pyTitle)
+    out
   }
 
   /** FIXTURES.md §3 triple rule over one turn's structured result. */
   def emit(convId: String, turnIdx: Int, result: Map[String, Seq[String]],
       evidence: String): Seq[Triple] = {
+    val arr = new Array[Seq[String]](9)
+    var i = 0
+    while (i < 9) { arr(i) = result(resultTagArr(i)); i += 1 }
+    emitArrays(convId, turnIdx, arr, evidence)
+  }
+
+  /** [[emit]] over the array-indexed structured result (hot-path form;
+    * the Map form delegates here). */
+  def emitArrays(convId: String, turnIdx: Int, result: Array[Seq[String]],
+      evidence: String): Seq[Triple] = {
     // every triple hangs off a TITLE subject or a MISC_PERSON object —
     // the (majority) turns with neither emit nothing: skip all allocation
-    if (result("TITLE").isEmpty && result("MISC_PERSON").isEmpty)
+    if (result(ITitle).isEmpty && result(IMisc).isEmpty)
       return Seq.empty
-    val docKey = s"$convId#$turnIdx"
     def tr(s: String, p: String, o: String) =
       Triple(s, p, o, convId, turnIdx, evidence)
     val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
-    result("TITLE").foreach { t =>
-      result("ORIGINAL_AUTHOR").foreach(x => out += tr(t, "performed_by", x))
-      result("FEATURING").foreach(x => out += tr(t, "featuring", x))
-      (result("VOCALIST") ++ result("VOCALOID"))
-        .foreach(x => out += tr(t, "vocal_by", x))
-      result("ALBUM").foreach(x => out += tr(t, "on_album", x))
-      result("MODIFIER").foreach(x => out += tr(t, "modifier", x))
-      result("ALT_TITLE").foreach(x => out += tr(t, "alt_title", x))
+    result(ITitle).foreach { t =>
+      result(IOrig).foreach(x => out += tr(t, "performed_by", x))
+      result(IFeat).foreach(x => out += tr(t, "featuring", x))
+      result(IVocalist).foreach(x => out += tr(t, "vocal_by", x))
+      result(IVocaloid).foreach(x => out += tr(t, "vocal_by", x))
+      result(IAlbum).foreach(x => out += tr(t, "on_album", x))
+      result(IMod).foreach(x => out += tr(t, "modifier", x))
+      result(IAlt).foreach(x => out += tr(t, "alt_title", x))
     }
-    result("MISC_PERSON").foreach(x => out += tr(docKey, "mentions_person", x))
+    if (result(IMisc).nonEmpty) {
+      val docKey = s"$convId#$turnIdx"
+      result(IMisc).foreach(x => out += tr(docKey, "mentions_person", x))
+    }
     out.toSeq
   }
 
@@ -96,7 +147,8 @@ object Triples {
   def triples(spark: SparkSession, decoded: Dataset[DecodedTurn]): Dataset[Triple] = {
     import spark.implicits._
     decoded.flatMap { d =>
-      emit(d.conv_id, d.turn_idx, structuredResult(d.entities), "gazetteer:ac")
+      emitArrays(d.conv_id, d.turn_idx, structuredArrays(d.entities),
+        "gazetteer:ac")
     }
   }
 }
