@@ -161,9 +161,9 @@ object Bench {
     // (scheduling, scan setup, ~0.3-0.5s) hits the FAST leg of each pair
     // relatively harder, deflating measured efficiency — at 35s/9s legs
     // it is amortized to ~1% (at 17s/5s it cost ~5 efficiency points).
-    // 800k convs restores the ~35s target after the round-3 fusion nearly
-    // halved per-turn cost.
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "800000").toLong
+    // 1.1M convs restores the ~35s target after the round-3 fusion +
+    // packed offsets + array-indexed emit together ~2.6x'd per-turn cost.
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1100000").toLong
 
     // ---- 1) driver-contract query timings at the given parallelism
     var spark = session(cpus)
