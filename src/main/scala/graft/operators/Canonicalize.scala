@@ -132,6 +132,13 @@ object Canonicalize {
    */
   def connectedComponents(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (here and per round below) truncates lineage so the
+    // iterative plan does not grow unboundedly. Caveat for a REAL
+    // multi-node cluster: localCheckpoint stores blocks on executors, so
+    // an executor loss mid-iteration fails the job (acceptable: CC is a
+    // short bounded stage and the checkpointed pipeline retries it from
+    // the previous stage snapshot); swap for reliable checkpoint() to a
+    // cluster FS if executor churn is expected.
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
