@@ -31,12 +31,21 @@ object SparkEntry {
     * this cache — they gate Pipeline.extract itself. */
   private val decodedCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Long), org.apache.spark.sql.Dataset[graft.Schemas.DecodedTurn]]()
+  /** Drop cache entries whose session has been stopped — otherwise a
+    * long-lived JVM cycling sessions (the sbt test JVM) would pin one
+    * persisted Dataset per dead session forever via this static map. */
+  private def evictStoppedSessions(): Unit = {
+    decodedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    canonCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  }
   private def decodedPrefix(s: SparkSession, n: Long)
-      : org.apache.spark.sql.Dataset[graft.Schemas.DecodedTurn] =
+      : org.apache.spark.sql.Dataset[graft.Schemas.DecodedTurn] = {
+    evictStoppedSessions()
     decodedCache.computeIfAbsent((s, n), { key =>
       Pipeline.decodeTurns(key._1, TranscriptGen.generate(key._1, key._2))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Canonical alias map shared by q_kg_nodes / q_kg_edges (same
     * pattern and rationale as [[decodedPrefix]]). */

@@ -115,31 +115,38 @@ object DocDedup {
     // take(5)) at DataFrame-CONSTRUCTION time — two extra passes over the
     // shingle index per call even when nothing was dropped, and Spark
     // jobs fired from inside plan-building code paths (explain/audit).
-    // Now the drop is detected inside the main action's own pass: each
-    // dropped shingle bumps a named accumulator (Spark-UI-visible) and
-    // logs a WARN from the executor — no extra job, no silent truncation.
-    val dropped = documents.sparkSession.sparkContext
-      .longAccumulator("ngramJaccard.hotShinglesDropped")
+    // The guard is now a pure column filter (stays in codegen, single
+    // pass with the main action). Drop VISIBILITY comes from
+    // [[ngramHotShingles]] — an explicit diagnostic a caller runs when
+    // the drop set matters (a per-row logging lambda here would fire once
+    // per RECOMPUTATION, not once per drop: this frame feeds both sides
+    // of the self-join, so its counts/logs would be 2-4x inflated) — and
+    // the guard's behavior is pinned by the DocOpsSpec guard test.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
       .where(col("sh") =!= "")
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val coldSh = dfs.filter { r =>
-      val isHot = r.getLong(1) > maxShingleDf
-      if (isHot) {
-        dropped.add(1L)
-        org.slf4j.LoggerFactory.getLogger("graft.operators.DocDedup").warn(
-          s"ngramJaccardPairs: dropping shingle '${r.getString(0)}' " +
-            s"(df=${r.getLong(1)} > $maxShingleDf) from candidate generation")
-      }
-      !isHot
-    }.select("sh")
+    val coldSh = dfs.where(col("df") <= maxShingleDf).select("sh")
     val shCold = sh.join(coldSh, "sh")
     shCold.as("a").join(shCold.as("b"), Seq("sh"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Diagnostic companion to the [[ngramCandidates]] df guard: the
+    * shingles (with document frequency) that candidate generation DROPS
+    * at the given `maxShingleDf` — run this when auditing what a corpus
+    * loses to the guard ("no silent caps": the drop set is one query
+    * away, without taxing every pipeline run with extra passes). */
+  def ngramHotShingles(documents: DataFrame, k: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame =
+    documents
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .where(col("sh") =!= "")
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .orderBy(col("df").desc)
 
   /** Join candidate (doc_a, doc_b) pairs back to their sorted
     * shingle-hash arrays and keep exact jaccard >= threshold. */

@@ -79,6 +79,13 @@ object KgOracleDump {
     val (os, es) = (sample(expected), sample(got))
     println(s"top-50 sample MATCH: ${os == es}")
 
+    // HARD GATE before any literal is written: a diverging engine must
+    // fail the mint loudly, not emit oracle literals that the operator
+    // might embed without noticing the MATCH: false line in sbt noise
+    require(oracleTagCounts == engineTagCounts &&
+      oc == ec && os == es,
+      "engine != ReferenceOracle — fix the divergence before minting")
+
     // write as UTF-8 files (stdout mangles non-ASCII under sbt)
     def sq(s: String) = "'" + s.replace("'", "''") + "'"
     java.nio.file.Files.writeString(
@@ -121,6 +128,8 @@ object KgOracleDump {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     println(s"predict rows MATCH: ${predOracle.sorted == engPred.sorted} " +
       s"(oracle=${predOracle.size}, engine=${engPred.size})")
+    require(predOracle.sorted == engPred.sorted,
+      "predict(): engine != ReferenceOracle — fix before minting")
     val predTagCounts = predOracle.groupBy(_._2).view.mapValues(_.size.toLong)
       .toMap
     val predSample = predOracle.sorted.take(50)
