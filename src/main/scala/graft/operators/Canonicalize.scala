@@ -80,17 +80,12 @@ object Canonicalize {
     // hot-block guard: a block of m surfaces costs m^2 candidate pairs —
     // at corpus scale a common prefix ("th", "mi") would go quadratic.
     // Oversized blocks are DROPPED from pairing (low-signal: a 2-char
-    // prefix shared by >maxBlockSize surfaces discriminates nothing) and
-    // the drop is logged — no silent truncation.
+    // prefix shared by >maxBlockSize surfaces discriminates nothing).
+    // Lazy, codegen column filter (same rationale as the DocDedup df
+    // guard: an eager count + take here fired extra jobs at
+    // plan-construction time); the drop set is auditable via
+    // [[hotAliasBlocks]] — no silent truncation.
     val blockSizes = blocked0.groupBy("blk").count()
-    val dropped = blockSizes.where(col("count") > maxBlockSize)
-    val nDropped = dropped.count()
-    if (nDropped > 0) {
-      val top = dropped.orderBy(col("count").desc).take(5)
-        .map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(", ")
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"aliasEdges: dropping $nDropped hot blocks > $maxBlockSize surfaces: $top")
-    }
     val blocked = blocked0.join(
       blockSizes.where(col("count") <= maxBlockSize).select("blk"), "blk")
     val a = blocked.select(col("blk"), col("tag"),
@@ -116,6 +111,22 @@ object Canonicalize {
         concat_ws("\u0000", col("tag"), col("sa")).as("src"),
         concat_ws("\u0000", col("tag"), col("sb")).as("dst"))
       .distinct()
+  }
+
+  /** Diagnostic companion to the [[aliasEdges]] hot-block guard: the
+    * blocking keys (with sizes) that candidate generation DROPS at the
+    * given `maxBlockSize` — run when auditing what a corpus loses. */
+  def hotAliasBlocks(spark: SparkSession, forms: DataFrame,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val f = forms.select(col("tag"), col("surface"),
+      normKey(col("surface")).as("nk")).where(length(col("nk")) > 0)
+    f.withColumn("blk", explode(array(
+        concat(lit("p:"), col("tag"), lit(":"), substring(col("nk"), 1, 2)),
+        concat(lit("s:"), col("tag"), lit(":"),
+          substring(reverse(col("nk")), 1, 2)))))
+      .groupBy("blk").count()
+      .where(col("count") > maxBlockSize)
+      .orderBy(col("count").desc)
   }
 
   /**
