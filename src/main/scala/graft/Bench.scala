@@ -296,8 +296,12 @@ object Bench {
     }
     // sanity gate: a leg polluted by box contention (the driver harness
     // shares this machine) shows up as a pairwise efficiency that is
-    // physically impossible (>1.05) or absurd — discard and re-measure
-    // BOTH ends of the offending pair, up to 3 attempts
+    // physically impossible (>1.05) or absurd — DISCARD both ends of the
+    // offending pair and re-measure, up to 3 attempts. Discard (not the
+    // usual merge-by-min) on purpose: min-merging can never get rid of a
+    // bogus too-FAST observation (e.g. a mis-timed run), which is exactly
+    // what an impossible efficiency implies one leg produced.
+    def resetLeg(n: Int): Unit = { legs.remove(n); leg(n) }
     var attempts = 0
     while (attempts < 3 &&
         (pairEff(1, 4) > 1.05 || pairEff(1, 4) < 0.2 ||
@@ -305,9 +309,9 @@ object Bench {
          pairEff(8, 32) > 1.05 || pairEff(8, 32) < 0.05)) {
       System.err.println(f"[bench] leg sanity failed (eff1->4=${pairEff(1, 4)}%.3f, " +
         f"eff2->8=${pairEff(2, 8)}%.3f, eff8->32=${pairEff(8, 32)}%.3f) — re-running")
-      if (pairEff(1, 4) > 1.05 || pairEff(1, 4) < 0.2) { leg(1); leg(4) }
-      if (pairEff(2, 8) > 1.05 || pairEff(2, 8) < 0.2) { leg(2); leg(8) }
-      if (pairEff(8, 32) > 1.05 || pairEff(8, 32) < 0.05) { leg(8); leg(32) }
+      if (pairEff(1, 4) > 1.05 || pairEff(1, 4) < 0.2) { resetLeg(1); resetLeg(4) }
+      if (pairEff(2, 8) > 1.05 || pairEff(2, 8) < 0.2) { resetLeg(2); resetLeg(8) }
+      if (pairEff(8, 32) > 1.05 || pairEff(8, 32) < 0.05) { resetLeg(8); resetLeg(32) }
       attempts += 1
     }
     // drop the materialized bench input (a few hundred MB under /tmp)

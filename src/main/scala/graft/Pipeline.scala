@@ -44,7 +44,7 @@ object Pipeline {
     val ents = Decode.meSubstitute(
       Decode.decodeEntitiesPacked(text, offs, tags),
       if (role == null) "" else role)
-    Triples.emitArrays(convId, turnIdx, Triples.structuredArrays(ents),
+    Triples.emitArrays(convId, turnIdx, Triples.structuredArraysShared(ents),
       "gazetteer:ac")
   }
 

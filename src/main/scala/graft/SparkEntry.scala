@@ -33,32 +33,56 @@ object SparkEntry {
     (SparkSession, Long), org.apache.spark.sql.Dataset[graft.Schemas.DecodedTurn]]()
   /** Drop cache entries whose session has been stopped — otherwise a
     * long-lived JVM cycling sessions (the sbt test JVM) would pin one
-    * persisted Dataset per dead session forever via this static map. */
+    * persisted Dataset per dead session forever via this static map.
+    * (No unpersist needed there: a stopped context has already dropped
+    * its blocks.) */
   private def evictStoppedSessions(): Unit = {
     decodedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     canonCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
+  /** Bound LIVE-session cache entries: a long-lived session querying many
+    * corpus scales would otherwise accumulate persisted prefixes with no
+    * unpersist path. The working set is 3 scales (the sf dir's, the
+    * pinned-2000 gates', the pinned-300 canon gates'); beyond
+    * `maxPerSession` the surplus entries for that session are unpersisted
+    * and dropped (any-order eviction — re-decoding a scale is cheap
+    * relative to leaking its persisted blocks forever). */
+  private def boundSessionCache[V <: org.apache.spark.sql.Dataset[_]](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), V],
+      s: SparkSession, keep: Long, maxPerSession: Int = 4): Unit = {
+    import scala.jdk.CollectionConverters._
+    val mine = cache.keySet.asScala.filter(_._1 eq s).toSeq
+    if (mine.size > maxPerSession)
+      mine.filter(_._2 != keep).take(mine.size - maxPerSession).foreach { k =>
+        Option(cache.remove(k)).foreach(_.unpersist())
+      }
+  }
   private def decodedPrefix(s: SparkSession, n: Long)
       : org.apache.spark.sql.Dataset[graft.Schemas.DecodedTurn] = {
     evictStoppedSessions()
-    decodedCache.computeIfAbsent((s, n), { key =>
+    val out = decodedCache.computeIfAbsent((s, n), { key =>
       Pipeline.decodeTurns(key._1, TranscriptGen.generate(key._1, key._2))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+    boundSessionCache(decodedCache, s, n)
+    out
   }
 
   /** Canonical alias map shared by q_kg_nodes / q_kg_edges (same
     * pattern and rationale as [[decodedPrefix]]). */
   private val canonCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Long), DataFrame]()
-  private def canonPrefix(s: SparkSession, n: Long): DataFrame =
-    canonCache.computeIfAbsent((s, n), { key =>
+  private def canonPrefix(s: SparkSession, n: Long): DataFrame = {
+    val out = canonCache.computeIfAbsent((s, n), { key =>
       val dict = key._1.sparkContext.broadcast(Linker.buildDict())
       val linked = Linker.link(key._1,
         Decode.mentions(key._1, decodedPrefix(key._1, key._2)), dict).toDF()
       Canonicalize.canonicalMap(key._1, linked)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+    boundSessionCache(canonCache, s, n)
+    out
+  }
 
   /** Pre-materialize the shared KG prefixes (bench warm-up hook) so each
     * timed q_kg_* query measures its OWN stage, not the shared decode. */

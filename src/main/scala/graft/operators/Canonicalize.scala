@@ -228,7 +228,16 @@ object Canonicalize {
   /** G4b: triples rewritten onto node ids. Subjects are TITLE surfaces
     * (or doc keys for mentions_person/refers_to — kept literal). Objects
     * resolve via (objTag(pred), obj); vocal_by tries VOCALIST then
-    * VOCALOID. Unresolved endpoints keep their literal surface. */
+    * VOCALOID. Unresolved endpoints keep their literal surface.
+    *
+    * Skew note (100 TB): joining triples to the maps on raw surface
+    * equality makes a viral surface ("Senbonzakura" in 10^8 turns) a
+    * skewed shuffle key. The maps are DISTINCT-SURFACE — bounded by the
+    * alias universe, not the corpus — so all three are `broadcast()`
+    * explicitly: the triple stream never shuffles at all (three
+    * BroadcastHashJoins in its narrow stage; ScaleSpec pins the plan
+    * shape), and skew is moot. If an alias universe ever outgrew driver
+    * memory, drop the hints and let AQE skew-split the sort-merge joins. */
   def edges(spark: SparkSession, triples: Dataset[Triple],
       canonMap: DataFrame): Dataset[Edge] = {
     import spark.implicits._
@@ -241,10 +250,10 @@ object Canonicalize {
     val objMap = m.select(col("tag").as("ot"), col("surface").as("os2"),
       col("node_id").as("obj_node_tagged"))
     triples.toDF()
-      .join(titleMap, col("subj") === col("ts"), "left_outer")
-      .join(vocalMap,
+      .join(broadcast(titleMap), col("subj") === col("ts"), "left_outer")
+      .join(broadcast(vocalMap),
         col("pred") === "vocal_by" && col("obj") === col("os"), "left_outer")
-      .join(objMap,
+      .join(broadcast(objMap),
         col("obj") === col("os2") &&
           typedLit(predObjTag).apply(col("pred")) === col("ot"),
         "left_outer")

@@ -30,15 +30,34 @@ object SkewSalting {
   final case class SaltedTurn(conv_id: String, chunk: Int, is_ctx: Boolean,
       turn: DecodedTurn)
 
-  /** Salt decoded turns: hot convs chunked with overlap-context rows. */
+  /** Salt decoded turns: hot convs chunked with overlap-context rows.
+    *
+    * `maxHotConvs` ENFORCES the Zipf assumption the broadcast rests on:
+    * the hot-conversation map is collected to the driver, which is safe
+    * only while few conversations exceed `chunkSize`. A corpus where that
+    * set is large (uniformly long conversations, or a chunkSize far below
+    * the typical length) would silently bloat the driver + broadcast —
+    * instead the guard FAILS with the two actionable fixes (raise
+    * chunkSize, or repartition by (conv_id, turn_idx range) upstream).
+    * The take() is bounded, so the driver never materializes an oversized
+    * map even on the failing path. */
   def salt(spark: SparkSession, decoded: Dataset[DecodedTurn],
-      chunkSize: Int, overlap: Int): Dataset[SaltedTurn] = {
+      chunkSize: Int, overlap: Int, maxHotConvs: Int = 100000): Dataset[SaltedTurn] = {
     import spark.implicits._
     require(overlap <= chunkSize, "overlap must fit in a chunk")
     // pre-pass: conversations that need salting (tiny under Zipf)
-    val hotSizes: Map[String, Long] = decoded.groupBy("conv_id").count()
+    val hotRows = decoded.groupBy("conv_id").count()
       .where(col("count") > chunkSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .take(maxHotConvs + 1)
+    if (hotRows.length > maxHotConvs)
+      throw new IllegalStateException(
+        s"SkewSalting.salt: more than $maxHotConvs conversations exceed " +
+          s"chunkSize=$chunkSize — the corpus is not Zipf-skewed enough for " +
+          "a driver-collected hot map. Raise chunkSize (so only true " +
+          "outliers salt), raise maxHotConvs if the driver can hold the " +
+          "map, or pre-chunk the input by (conv_id, turn range) instead.")
+    val hotSizes: Map[String, Long] =
+      hotRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val hotB = spark.sparkContext.broadcast(hotSizes)
     decoded.flatMap { d =>
       if (!hotB.value.contains(d.conv_id)) {

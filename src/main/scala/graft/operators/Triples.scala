@@ -76,8 +76,22 @@ object Triples {
     * position of the tag in the reference's 9-tag result, see tagIdx) —
     * the fused hot path's form: one pass, no per-turn Map/HashMap. The
     * Map form above delegates here, so there is one dedup/normalize
-    * implementation. */
+    * implementation.
+    *
+    * The PUBLIC form returns a fresh array even for entity-less turns (a
+    * caller mutating the shared empty instance would corrupt every
+    * subsequent empty result engine-wide); the fused hot path uses
+    * [[structuredArraysShared]], which skips that clone — its only
+    * consumer is [[emitArrays]], which never mutates. */
   def structuredArrays(entities: Seq[Entity]): Array[Seq[String]] = {
+    if (entities.isEmpty) return emptyArrays.clone()
+    structuredArraysShared(entities)
+  }
+
+  /** [[structuredArrays]] minus the defensive clone on the empty fast
+    * path. Internal hot-path form: callers MUST NOT mutate the result
+    * (the empty case is a shared instance). */
+  private[graft] def structuredArraysShared(entities: Seq[Entity]): Array[Seq[String]] = {
     if (entities.isEmpty) return emptyArrays
     val grouped = new Array[scala.collection.mutable.ArrayBuffer[String]](9)
     entities.foreach { e =>
@@ -147,7 +161,7 @@ object Triples {
   def triples(spark: SparkSession, decoded: Dataset[DecodedTurn]): Dataset[Triple] = {
     import spark.implicits._
     decoded.flatMap { d =>
-      emitArrays(d.conv_id, d.turn_idx, structuredArrays(d.entities),
+      emitArrays(d.conv_id, d.turn_idx, structuredArraysShared(d.entities),
         "gazetteer:ac")
     }
   }

@@ -50,28 +50,56 @@ object IcebergishTable {
   }
 
   /**
-   * Commit a stage: write parquet, collect per-partition lineage (min/max
-   * of `keyCol` + row count per output file partition), then atomically
-   * publish the manifest. Deterministic snapshot id = stage + row count +
-   * parent (content-derived, no wall clock).
+   * Commit a stage: write parquet (the ONE pass over the data), then build
+   * per-file lineage (min/max of `keyCol` + row count) from the written
+   * files' parquet FOOTER STATISTICS — the same way real Iceberg builds
+   * manifests from data-file metrics. The old form persisted the full
+   * stage output and made a second aggregation pass: at 100 TB a
+   * MEMORY_AND_DISK persist per stage is a real cost and a spill risk;
+   * footers are a driver-side metadata read (KBs per file, no executor
+   * work at all).
+   *
+   * `pid` = output file index in filename order (part-00000... = 0);
+   * min/max come from the column chunk statistics, compared in the
+   * column's OWN type order (numeric keys compare numerically — an
+   * improvement over the old cast-to-string lexicographic min/max) and
+   * stringified for the manifest. Deterministic snapshot id = stage +
+   * row count + parent (content-derived, no wall clock).
    */
   def commit(spark: SparkSession, df: DataFrame, root: String, stage: String,
       keyCol: String, parentSnapshot: String = "none"): Manifest = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
     val t0 = System.nanoTime()
     val out = dataPath(root, stage)
-    val withPid = df.withColumn("__pid", spark_partition_id())
-    withPid.persist()
-    val lineage = withPid
-      .groupBy(col("__pid"))
-      .agg(min(col(keyCol).cast("string")).as("kmin"),
-        max(col(keyCol).cast("string")).as("kmax"),
-        count(lit(1)).as("rows"))
-      .collect()
-      .map(r => PartitionLineage(r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3)))
-      .sortBy(_.pid).toSeq
-    withPid.drop("__pid").write.mode("overwrite").parquet(out)
-    withPid.unpersist()
+    df.write.mode("overwrite").parquet(out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(conf)
+    def statToString(v: Any): String = v match {
+      case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+      case x => String.valueOf(x)
+    }
+    val lineage = fs.listStatus(outPath).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (f, pid) =>
+        val meta = ParquetFileReader.readFooter(conf, f.getPath,
+          ParquetMetadataConverter.NO_FILTER)
+        val blocks = meta.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        // merge the keyCol chunk stats across row groups (type-ordered)
+        val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol).map(_.getStatistics))
+          .filter(s => s != null && s.hasNonNullValue)
+        val merged = stats.reduceOption { (a, b) => a.mergeStatistics(b); a }
+        PartitionLineage(pid,
+          merged.map(s => statToString(s.genericGetMin)).getOrElse(""),
+          merged.map(s => statToString(s.genericGetMax)).getOrElse(""),
+          nRows)
+      }
     val rows = lineage.map(_.rows).sum
     // per-stage metrics (SURVEY §7.6): rows + wall ms, per-partition rows
     // and key ranges already carried by the lineage entries

@@ -53,30 +53,33 @@ object StreamingIngest {
    * window — the classic streaming-agg shape (late rows beyond the
    * watermark are dropped; state is bounded by watermark eviction).
    *
-   * Caveat: the watermark is attached to the post-extraction mention rows,
-   * so it only advances on batches that contain mentions — fine for real
-   * transcript streams (mentions are dense); a strictly-mention-free stream
-   * would hold windows open.
+   * The watermark is attached to `turns.ts` BEFORE extraction and the `ts`
+   * column flows through the (columnar) extraction untouched, so EVERY
+   * arriving turn advances it — a mention-free batch still closes elapsed
+   * windows. (The earlier form watermarked the post-extraction mention
+   * rows; a strictly mention-free stream then held windows open. Keeping
+   * the watermarked column alive requires extraction as a generator
+   * expression over `text` rather than a typed mapPartitions — a typed map
+   * re-creates every attribute via the encoder and drops the event-time
+   * tag.)
    */
   def windowedMentionCounts(spark: SparkSession, turns: Dataset[Turn],
       windowDur: String = "10 minutes",
       watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
+    val tagsOf = udf { (text: String) =>
+      val model = bc.value
+      val toks = graft.functions.PyText.tokenizeWithOffsets(text)
+      val tags = Detector.tagTokens(model, text, toks)
+      Decode.decodeEntities(text,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
+        .map(_.tag)
+    }
     turns
-      .mapPartitions { it =>
-        val model = bc.value
-        it.flatMap { t =>
-          val toks = graft.functions.PyText.tokenizeWithOffsets(t.text)
-          val tags = Detector.tagTokens(model, t.text, toks)
-          Decode.decodeEntities(t.text,
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
-            .map(e => (t.conv_id, e.tag, t.ts))
-        }
-      }
-      .toDF("conv_id", "tag", "ts")
       .withWatermark("ts", watermark)
+      .select(col("conv_id"), col("ts"),
+        explode(tagsOf(col("text"))).as("tag"))
       .groupBy(window(col("ts"), windowDur), col("tag"))
       .agg(count(lit(1)).as("n_mentions"))
       .select(col("window.start").as("w_start"), col("tag"),

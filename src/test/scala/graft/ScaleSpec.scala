@@ -21,6 +21,25 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("salting guard: too many hot conversations fails loudly, not silently") {
+    import spark.implicits._
+    // 12 conversations of 8 turns each, chunkSize=2 -> every conv is "hot";
+    // with maxHotConvs=5 the Zipf assumption is violated and salt must
+    // THROW (a driver-collected hot map would bloat), while a bound that
+    // accommodates the set still salts fine
+    val decoded = (0 until 12).flatMap { c =>
+      (0 until 8).map(i =>
+        Schemas.DecodedTurn(s"conv$c", i, "user", null, "text", Nil))
+    }.toDS()
+    val e = intercept[IllegalStateException] {
+      SkewSalting.salt(spark, decoded, chunkSize = 2, overlap = 1,
+        maxHotConvs = 5).count()
+    }
+    assert(e.getMessage.contains("chunkSize"))
+    assert(SkewSalting.salt(spark, decoded, chunkSize = 2, overlap = 1,
+      maxHotConvs = 100).count() > 0)
+  }
+
   test("extraction core is a single narrow stage: NO shuffle exchange") {
     import spark.implicits._
     val turns = TranscriptGen.generate(spark, 5L)
@@ -84,6 +103,30 @@ class ScaleSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
+  }
+
+  test("edges join broadcasts the canonical maps: triples stream never shuffles") {
+    import spark.implicits._
+    import graft.operators.{Canonicalize, Triples}
+    val turns = TranscriptGen.generate(spark, 25L)
+    val decoded = Pipeline.decodeTurns(spark, turns)
+    // materialize the map first (as runCheckpointed/canonPrefix do) so
+    // the inspected plan is the EDGES stage alone, not the map build
+    val canon = Canonicalize.canonicalMap(spark,
+      graft.operators.Decode.mentions(spark, decoded).toDF()).localCheckpoint()
+    val e = Canonicalize.edges(spark, Triples.triples(spark, decoded), canon)
+    e.collect() // finalize adaptive plan
+    val plan = e.queryExecution.executedPlan.toString
+    // all three map joins must be broadcast — a sort-merge/shuffled-hash
+    // join here would re-shuffle the (huge) triple stream on a skewed
+    // surface key. (The canonMap build inside the broadcast subtrees has
+    // its own joins, so assert >= 3 BHJ and ZERO shuffle-side joins
+    // anywhere rather than an exact count.)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected the 3 map joins to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triples side must not shuffle:\n$plan")
   }
 
   test("top-K plans TakeOrderedAndProject; ranked queries carry no global window") {

@@ -55,8 +55,6 @@ class StatefulSpec extends SparkSuite {
     // append-mode windowed aggs only emit once the watermark passes the
     // window end; the watermark itself advances at the END of a batch, so
     // one batch pushes event time forward and the NEXT one emits
-    // NOTE: the watermark node sits downstream of mention extraction, so
-    // only mention-bearing rows advance it (documented in the operator)
     mem.addData(turn(3, "Ghost Rule drops", 120))
     q.processAllAvailable()
     mem.addData(turn(4, "Ghost Rule again", 121))
@@ -68,6 +66,35 @@ class StatefulSpec extends SparkSuite {
     val w0 = 1767225600000L // window [0,10min)
     val w1 = 1767225600000L + 600000L
     assert(rows == Set((w0, "TITLE", 2L), (w1, "TITLE", 1L)))
+  }
+
+  test("mention-FREE batches still advance the watermark and close windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    def turn(i: Int, text: String, minute: Int) =
+      Turn("c1", i, "user", text, null,
+        new Timestamp(1767225600000L + minute * 60000L))
+    mem.addData(turn(0, "Melt is great", 1)) // one TITLE mention, window [0,10)
+    val q = graft.streaming.StreamingIngest
+      .windowedMentionCounts(spark, mem.toDS())
+      .writeStream.format("memory").queryName("win_free_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // two batches with ZERO mentions, far past the window + watermark:
+    // the watermark sits on turns.ts upstream of extraction, so these
+    // rows must advance it (batch N advances the mark, batch N+1 emits)
+    mem.addData(turn(1, "nothing entity like here at all", 60))
+    q.processAllAvailable()
+    mem.addData(turn(2, "still nothing to see", 61))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_free_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows == Set((1767225600000L, "TITLE", 1L)),
+      s"window [0,10) must close on mention-free progress; got $rows")
   }
 
   test("stateful streaming coref resolves antecedents ACROSS micro-batches") {
