@@ -89,6 +89,7 @@ object SparkEntry {
   def warmKgPrefix(s: SparkSession, dir: String): Unit = {
     decodedPrefix(s, TranscriptGen.convsForSfDir(dir)).count()
     decodedPrefix(s, 2000L).count()
+    decodedPrefix(s, 300L).count() // the pinned canon-gate corpus
   }
 
   /** Flagship: full KG extraction on synthesized transcripts. */
@@ -459,20 +460,34 @@ object SparkEntry {
       Coref.triples(s, Coref.resolve(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d)))).toDF()),
     "q_kg_nodes" -> ((s, d) => {
-      // scalar columns only: the driver's rows-only pandas check cannot
-      // sort an array<string> column, so the alias list is flattened
-      Canonicalize.nodes(s,
-        canonPrefix(s, TranscriptGen.convsForSfDir(d))).toDF()
+      // G1-G4a VALUES gate: the FULL nodes table at a pinned 300-conv
+      // corpus, hash-checked against literals minted by the INDEPENDENT
+      // single-threaded canonicalization oracle in graft.tools.KgOracleDump
+      // (blocking + tf-idf/levenshtein edges + union-find + rep pick,
+      // sharing no code with Canonicalize; the mint asserts engine ==
+      // oracle before any literal is embedded). Pinned corpus — same
+      // robustness rationale as q_kg_pred_counts. Scalar columns only:
+      // the alias list is flattened (the driver cannot sort arrays).
+      Canonicalize.nodes(s, canonPrefix(s, 300L)).toDF()
         .select(col("node_id"), col("canonical"), col("type"),
           concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
     }),
     "q_kg_edges" -> ((s, d) =>
-      // G4b: triples rewritten onto canonical node ids (rows-only gate;
-      // the endpoint-resolution logic itself is pinned by KgStagesSpec)
-      Canonicalize.edges(s,
-        Triples.triples(s, decodedPrefix(s, TranscriptGen.convsForSfDir(d))),
-        canonPrefix(s, TranscriptGen.convsForSfDir(d))).toDF()
-        .select("src_id", "pred", "dst_id", "conv_id", "turn_idx")),
+      // G4b VALUES gate: the full 300-conv edge set is materialized, then
+      // digested per predicate — count, distinct endpoints, and a
+      // row-content hash sum (first 8 hex digits of md5 over the
+      // U+0001-joined row), so ANY changed edge row flips the gate. The
+      // expected digests come from the independent KgOracleDump
+      // canonicalization oracle, like q_kg_nodes.
+      Canonicalize.edges(s, Triples.triples(s, decodedPrefix(s, 300L)),
+        canonPrefix(s, 300L)).toDF()
+        .select(col("pred"), col("src_id"), col("dst_id"),
+          conv(substring(md5(concat_ws("\u0001", col("src_id"), col("pred"),
+            col("dst_id"), col("conv_id"), col("turn_idx").cast("string"))),
+            1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"), countDistinct("src_id").as("n_src"),
+          countDistinct("dst_id").as("n_dst"), sum("h").as("hashsum"))),
     "q_kg_pred_counts" -> ((s, d) => {
       // driver-checkable KG gate: per-predicate triple counts, compared
       // against VALUES literals computed by the INDEPENDENT
@@ -895,6 +910,156 @@ object SparkEntry {
   ('conv00000010', 'ORIGINAL_AUTHOR', 'GraftChannel'),
   ('conv00000010', 'ORIGINAL_AUTHOR', '米津玄師'),
   ('conv00000010', 'TITLE', 'Ashes of the Dawn')) AS t(yt_id, tag, entity)""",
+    // Canonicalization gates: expected values minted by the INDEPENDENT
+    // single-threaded canonicalization oracle in graft.tools.KgOracleDump
+    // (union-find + greedy leader refinement, no code shared with
+    // Canonicalize; the mint asserts engine == oracle first). Pinned to
+    // a 300-conv corpus, so the literals hold at any sf dir.
+    "q_kg_nodes" ->
+      """SELECT node_id, canonical, type, aliases, n::BIGINT AS n_mentions
+         FROM (VALUES
+  ('ALBUM:Analog Heartbeats', 'Analog Heartbeats', 'ALBUM', 'Analog Heartbeats', 43),
+  ('ALBUM:Bootleg', 'Bootleg', 'ALBUM', 'Bootleg', 50),
+  ('ALBUM:Ceremony', 'Ceremony', 'ALBUM', 'Ceremony', 44),
+  ('ALBUM:Chrome Gardens', 'Chrome Gardens', 'ALBUM', 'Chrome Gardens', 58),
+  ('ALBUM:Fragments of Polaris', 'Fragments of Polaris', 'ALBUM', 'Fragments of Polaris', 40),
+  ('ALBUM:Hungarian Dances Vol 3', 'Hungarian Dances Vol 3', 'ALBUM', 'Hungarian Dances Vol 3', 53),
+  ('ALBUM:Mikunopolis', 'Mikunopolis', 'ALBUM', 'Mikunopolis', 55),
+  ('ALBUM:Re:Dial', 'Re:Dial', 'ALBUM', 'Re:Dial', 50),
+  ('ALBUM:Stray Sheep', 'Stray Sheep', 'ALBUM', 'Stray Sheep', 49),
+  ('ALBUM:The Glasshouse Sessions', 'The Glasshouse Sessions', 'ALBUM', 'The Glasshouse Sessions', 41),
+  ('ALBUM:Unhappy Refrain', 'Unhappy Refrain', 'ALBUM', 'Unhappy Refrain', 45),
+  ('ALBUM:深海シティ', '深海シティ', 'ALBUM', '深海シティ', 51),
+  ('ALT_TITLE:Blue Danube Waltz', 'Blue Danube Waltz', 'ALT_TITLE', 'Blue Danube Waltz', 31),
+  ('ALT_TITLE:Gunjou', 'Gunjou', 'ALT_TITLE', 'Gunjou', 42),
+  ('ALT_TITLE:Racing into the Night', 'Racing into the Night', 'ALT_TITLE', 'Racing into the Night', 42),
+  ('ALT_TITLE:Spring Wind', 'Spring Wind', 'ALT_TITLE', 'Spring Wind', 40),
+  ('ALT_TITLE:The Hollow Cathedral Suite', 'The Hollow Cathedral Suite', 'ALT_TITLE', 'The Hollow Cathedral Suite', 28),
+  ('ALT_TITLE:Thousand Cherry Blossoms', 'Thousand Cherry Blossoms', 'ALT_TITLE', 'Thousand Cherry Blossoms', 29),
+  ('ALT_TITLE:Usseewa', 'Usseewa', 'ALT_TITLE', 'Usseewa', 42),
+  ('ALT_TITLE:Yoru ni Kakeru', 'Yoru ni Kakeru', 'ALT_TITLE', 'Yoru ni Kakeru', 33),
+  ('FEATURING:Aria Lune', 'Aria Lune', 'FEATURING', 'Aria Lune', 31),
+  ('FEATURING:Charlie Nox', 'Charlie Nox', 'FEATURING', 'Charlie Nox', 38),
+  ('FEATURING:DJ Szilva', 'DJ Szilva', 'FEATURING', 'DJ Szilva', 37),
+  ('FEATURING:Kaito Shion', 'Kaito Shion', 'FEATURING', 'Kaito Shion', 37),
+  ('FEATURING:Luka Nightfall', 'Luka Nightfall', 'FEATURING', 'Luka Nightfall', 35),
+  ('FEATURING:MC Paprika', 'MC Paprika', 'FEATURING', 'MC Paprika', 45),
+  ('FEATURING:Neon Fox', 'Neon Fox', 'FEATURING', 'Neon Fox', 37),
+  ('FEATURING:Rin Orbit', 'Rin Orbit', 'FEATURING', 'Rin Orbit', 42),
+  ('MISC_PERSON:Anna Kovács', 'Anna Kovács', 'MISC_PERSON', 'Anna Kovács', 28),
+  ('MISC_PERSON:MV director Oka', 'MV director Oka', 'MISC_PERSON', 'MV director Oka', 43),
+  ('MISC_PERSON:Peter Molnar', 'Peter Molnar', 'MISC_PERSON', 'Peter Molnar', 39),
+  ('MISC_PERSON:Ryo Watanabe', 'Ryo Watanabe', 'MISC_PERSON', 'Ryo Watanabe', 40),
+  ('MISC_PERSON:Yuki Tanaka', 'Yuki Tanaka', 'MISC_PERSON', 'Yuki Tanaka', 32),
+  ('MISC_PERSON:illustrator Nezuki', 'illustrator Nezuki', 'MISC_PERSON', 'illustrator Nezuki', 22),
+  ('MISC_PERSON:producer Halvorsen', 'producer Halvorsen', 'MISC_PERSON', 'producer Halvorsen', 41),
+  ('MISC_PERSON:the mixing engineer Sato', 'the mixing engineer Sato', 'MISC_PERSON', 'the mixing engineer Sato', 39),
+  ('MODIFIER:arranged', 'arranged', 'MODIFIER', 'arranged', 288),
+  ('MODIFIER:covered', 'covered', 'MODIFIER', 'covered', 280),
+  ('MODIFIER:remixed', 'remixed', 'MODIFIER', 'remixed', 293),
+  ('ORIGINAL_AUTHOR:Aurora Vex', 'Aurora Vex', 'ORIGINAL_AUTHOR', 'Aurora Vex', 58),
+  ('ORIGINAL_AUTHOR:Ayase', 'Ayase', 'ORIGINAL_AUTHOR', 'Ayase', 67),
+  ('ORIGINAL_AUTHOR:Bartók Béla', 'Bartók Béla', 'ORIGINAL_AUTHOR', 'Bartók Béla', 61),
+  ('ORIGINAL_AUTHOR:Crimson Tide Orchestra', 'Crimson Tide Orchestra', 'ORIGINAL_AUTHOR', 'Crimson Tide Orchestra', 68),
+  ('ORIGINAL_AUTHOR:DECO*27', 'DECO*27', 'ORIGINAL_AUTHOR', 'DECO*27', 59),
+  ('ORIGINAL_AUTHOR:Erkel Ferenc', 'Erkel Ferenc', 'ORIGINAL_AUTHOR', 'Erkel Ferenc', 59),
+  ('ORIGINAL_AUTHOR:Hachi', 'Hachi', 'ORIGINAL_AUTHOR', 'Hachi', 69),
+  ('ORIGINAL_AUTHOR:Kenshi Yonezu', 'Kenshi Yonezu', 'ORIGINAL_AUTHOR', 'Kenshi Yonezu', 57),
+  ('ORIGINAL_AUTHOR:Kikuo', 'Kikuo', 'ORIGINAL_AUTHOR', 'Kikuo', 57),
+  ('ORIGINAL_AUTHOR:Liszt Ferenc', 'Liszt Ferenc', 'ORIGINAL_AUTHOR', 'Liszt Ferenc', 65),
+  ('ORIGINAL_AUTHOR:Midnight Prism', 'Midnight Prism', 'ORIGINAL_AUTHOR', 'Midnight Prism', 66),
+  ('ORIGINAL_AUTHOR:Mitchie M', 'Mitchie M', 'ORIGINAL_AUTHOR', 'Mitchie M', 70),
+  ('ORIGINAL_AUTHOR:Neru', 'Neru', 'ORIGINAL_AUTHOR', 'Neru', 72),
+  ('ORIGINAL_AUTHOR:PinocchioP', 'PinocchioP', 'ORIGINAL_AUTHOR', 'PinocchioP', 86),
+  ('ORIGINAL_AUTHOR:Stellar Dustworks', 'Stellar Dustworks', 'ORIGINAL_AUTHOR', 'Stellar Dustworks', 65),
+  ('ORIGINAL_AUTHOR:Velvet Cogs', 'Velvet Cogs', 'ORIGINAL_AUTHOR', 'Velvet Cogs', 64),
+  ('ORIGINAL_AUTHOR:assistant', 'assistant', 'ORIGINAL_AUTHOR', 'assistant', 333),
+  ('ORIGINAL_AUTHOR:syudou', 'syudou', 'ORIGINAL_AUTHOR', 'syudou', 60),
+  ('ORIGINAL_AUTHOR:user', 'user', 'ORIGINAL_AUTHOR', 'user', 342),
+  ('ORIGINAL_AUTHOR:wowaka', 'wowaka', 'ORIGINAL_AUTHOR', 'wowaka', 70),
+  ('ORIGINAL_AUTHOR:中田ヤスタカ', '中田ヤスタカ', 'ORIGINAL_AUTHOR', '中田ヤスタカ', 65),
+  ('ORIGINAL_AUTHOR:米津玄師', '米津玄師', 'ORIGINAL_AUTHOR', '米津玄師', 80),
+  ('TITLE:Ashes of the Dawn', 'Ashes of the Dawn', 'TITLE', 'Ashes of the Dawn|Ashes of the Dawn 群青', 68),
+  ('TITLE:Ashes of the Dawn Rolling Girl', 'Ashes of the Dawn Rolling Girl', 'TITLE', 'Ashes of the Dawn Rolling Girl', 1),
+  ('TITLE:Ashes of the Dawn 夜に駆ける', 'Ashes of the Dawn 夜に駆ける', 'TITLE', 'Ashes of the Dawn 夜に駆ける', 1),
+  ('TITLE:Clockwork Lullaby', 'Clockwork Lullaby', 'TITLE', 'Clockwork Lullaby|Clockwork Lullaby Lemon|Clockwork Lullaby Zero Gravity Heart|Unravel Clockwork Lullaby', 64),
+  ('TITLE:Crystal Teardrop', 'Crystal Teardrop', 'TITLE', 'Crystal Teardrop|Crystal Teardrop Glass Aquarium|Crystal Teardrop Unravel|Marble Soda Sky Crystal Teardrop|Senbonzakura Crystal Teardrop|群青 Crystal Teardrop', 92),
+  ('TITLE:Electric Hanami', 'Electric Hanami', 'TITLE', 'Electric Hanami|Electric Hanami 群青|Lemon Electric Hanami|Pretender Electric Hanami', 64),
+  ('TITLE:Ghost Rule', 'Ghost Rule', 'TITLE', 'Ghost Rule|Lemon Ghost Rule|Unravel Ghost Rule', 62),
+  ('TITLE:Glass Aquarium', 'Glass Aquarium', 'TITLE', 'Glass Aquarium|Glass Aquarium Silent Vermilion|Glass Aquarium Unravel', 67),
+  ('TITLE:Gurenge', 'Gurenge', 'TITLE', 'Gurenge', 72),
+  ('TITLE:Gurenge World is Mine', 'Gurenge World is Mine', 'TITLE', 'Gurenge World is Mine|World is Mine Gurenge', 2),
+  ('TITLE:Gurenge 群青', 'Gurenge 群青', 'TITLE', 'Gurenge 群青', 1),
+  ('TITLE:Hollow Cathedral', 'Hollow Cathedral', 'TITLE', 'Electric Hanami Hollow Cathedral|Hollow Cathedral|Hollow Cathedral Lemon|Hollow Cathedral Night Parade|Hollow Cathedral Winter Meteor|Iron Butterfly Waltz Hollow Cathedral|群青 Hollow Cathedral', 108),
+  ('TITLE:Iron Butterfly Waltz', 'Iron Butterfly Waltz', 'TITLE', 'Iron Butterfly Waltz|Iron Butterfly Waltz Pretender|Iron Butterfly Waltz Silent Vermilion|Rolling Girl Iron Butterfly Waltz', 88),
+  ('TITLE:Kék Duna Keringő', 'Kék Duna Keringő', 'TITLE', 'Kék Duna Keringő|Kék Duna Keringő Gurenge|Kék Duna Keringő Kék Duna Keringő|Kék Duna Keringő Rolling Girl|Marble Soda Sky Kék Duna Keringő|Melt Kék Duna Keringő', 94),
+  ('TITLE:Last Train Home', 'Last Train Home', 'TITLE', 'Gurenge Last Train Home|Last Train Home|Last Train Home Last Train Home|Last Train Home Night Parade', 100),
+  ('TITLE:Lemon', 'Lemon', 'TITLE', 'Lemon', 91),
+  ('TITLE:Marble Soda Sky', 'Marble Soda Sky', 'TITLE', 'Marble Soda Sky', 74),
+  ('TITLE:Marble Soda Sky うっせぇわ', 'Marble Soda Sky うっせぇわ', 'TITLE', 'Marble Soda Sky うっせぇわ', 1),
+  ('TITLE:Melt', 'Melt', 'TITLE', 'Melt', 69),
+  ('TITLE:Melt 群青', 'Melt 群青', 'TITLE', 'Melt 群青', 1),
+  ('TITLE:Neon Genesis Lament', 'Neon Genesis Lament', 'TITLE', 'Neon Genesis Lament|Neon Genesis Lament Melt|Neon Genesis Lament Rolling Girl', 84),
+  ('TITLE:Neon Genesis Lament Sakura Fubuki', 'Neon Genesis Lament Sakura Fubuki', 'TITLE', 'Neon Genesis Lament Sakura Fubuki', 1),
+  ('TITLE:Night Parade', 'Night Parade', 'TITLE', 'Gurenge Night Parade|Lemon Night Parade|Night Parade|Night Parade Ghost Rule', 73),
+  ('TITLE:Paper Moon Waltz', 'Paper Moon Waltz', 'TITLE', 'Ashes of the Dawn Paper Moon Waltz|Paper Moon Waltz|Paper Moon Waltz Gurenge', 84),
+  ('TITLE:Pretender', 'Pretender', 'TITLE', 'Gurenge Pretender|Melt Pretender|Night Parade Pretender|Pretender|Pretender Pretender|群青 Pretender', 85),
+  ('TITLE:Rolling Girl', 'Rolling Girl', 'TITLE', 'Lemon Rolling Girl|Rolling Girl|Rolling Girl Pretender|Rolling Girl Rolling Girl', 75),
+  ('TITLE:Rolling Girl うっせぇわ', 'Rolling Girl うっせぇわ', 'TITLE', 'Rolling Girl うっせぇわ', 1),
+  ('TITLE:Sakura Fubuki', 'Sakura Fubuki', 'TITLE', 'Sakura Fubuki|Sakura Fubuki Rolling Girl|Unravel Sakura Fubuki', 106),
+  ('TITLE:Sakura Fubuki うっせぇわ', 'Sakura Fubuki うっせぇわ', 'TITLE', 'Sakura Fubuki うっせぇわ', 1),
+  ('TITLE:Senbonzakura', 'Senbonzakura', 'TITLE', 'Senbonzakura|群青 Senbonzakura', 93),
+  ('TITLE:Silent Vermilion', 'Silent Vermilion', 'TITLE', 'Silent Vermilion|Silent Vermilion Lemon|Unravel Silent Vermilion', 80),
+  ('TITLE:Tavaszi Szél', 'Tavaszi Szél', 'TITLE', 'Glass Aquarium Tavaszi Szél|Silent Vermilion Tavaszi Szél|Tavaszi Szél|Tavaszi Szél Melt|Tavaszi Szél World is Mine|Tavaszi Szél Zero Gravity Heart|Winter Meteor Tavaszi Szél', 86),
+  ('TITLE:Tavaszi Szél うっせぇわ', 'Tavaszi Szél うっせぇわ', 'TITLE', 'Tavaszi Szél うっせぇわ', 1),
+  ('TITLE:Unravel', 'Unravel', 'TITLE', 'Unravel', 79),
+  ('TITLE:Unravel Lemon', 'Unravel Lemon', 'TITLE', 'Unravel Lemon', 2),
+  ('TITLE:Winter Meteor', 'Winter Meteor', 'TITLE', 'Winter Meteor|Winter Meteor Unravel|Winter Meteor 群青', 71),
+  ('TITLE:World is Mine', 'World is Mine', 'TITLE', 'Unravel World is Mine|Winter Meteor World is Mine|World is Mine|World is Mine Neon Genesis Lament|World is Mine 群青', 92),
+  ('TITLE:Zero Gravity Heart', 'Zero Gravity Heart', 'TITLE', 'Melt Zero Gravity Heart|Zero Gravity Heart|Zero Gravity Heart Electric Hanami|Zero Gravity Heart Lemon', 83),
+  ('TITLE:Zero Gravity Heart 夜に駆ける', 'Zero Gravity Heart 夜に駆ける', 'TITLE', 'Zero Gravity Heart 夜に駆ける|夜に駆ける Crystal Teardrop|夜に駆ける Last Train Home', 3),
+  ('TITLE:うっせぇわ', 'うっせぇわ', 'TITLE', 'うっせぇわ', 73),
+  ('TITLE:うっせぇわ Melt', 'うっせぇわ Melt', 'TITLE', 'Pretender うっせぇわ|うっせぇわ Melt', 3),
+  ('TITLE:うっせぇわ Zero Gravity Heart', 'うっせぇわ Zero Gravity Heart', 'TITLE', 'うっせぇわ Zero Gravity Heart', 1),
+  ('TITLE:うっせぇわ 夜に駆ける', 'うっせぇわ 夜に駆ける', 'TITLE', 'うっせぇわ 夜に駆ける', 1),
+  ('TITLE:夜に駆ける', '夜に駆ける', 'TITLE', '夜に駆ける', 88),
+  ('TITLE:夜に駆ける Rolling Girl', '夜に駆ける Rolling Girl', 'TITLE', '夜に駆ける Rolling Girl', 1),
+  ('TITLE:夜に駆ける Senbonzakura', '夜に駆ける Senbonzakura', 'TITLE', '夜に駆ける Senbonzakura', 1),
+  ('TITLE:夜に駆ける Winter Meteor', '夜に駆ける Winter Meteor', 'TITLE', 'Melt 夜に駆ける|夜に駆ける Lemon|夜に駆ける Melt|夜に駆ける Winter Meteor', 4),
+  ('TITLE:群青', '群青', 'TITLE', '群青', 90),
+  ('TITLE:群青 うっせぇわ', '群青 うっせぇわ', 'TITLE', '群青 うっせぇわ', 1),
+  ('TITLE:群青 夜に駆ける', '群青 夜に駆ける', 'TITLE', '群青 夜に駆ける', 1),
+  ('VOCALIST:Ado', 'Ado', 'VOCALIST', 'Ado', 29),
+  ('VOCALIST:Eve', 'Eve', 'VOCALIST', 'Eve', 17),
+  ('VOCALIST:Kenshi Hollow', 'Kenshi Hollow', 'VOCALIST', 'Kenshi Hollow', 25),
+  ('VOCALIST:LiSA', 'LiSA', 'VOCALIST', 'LiSA', 25),
+  ('VOCALIST:Mafumafu', 'Mafumafu', 'VOCALIST', 'Mafumafu', 17),
+  ('VOCALIST:Majiko', 'Majiko', 'VOCALIST', 'Majiko', 29),
+  ('VOCALIST:Palotás Anna', 'Palotás Anna', 'VOCALIST', 'Palotás Anna', 28),
+  ('VOCALIST:Reol', 'Reol', 'VOCALIST', 'Reol', 27),
+  ('VOCALIST:Sekai no Owari', 'Sekai no Owari', 'VOCALIST', 'Sekai no Owari', 22),
+  ('VOCALIST:Soraru', 'Soraru', 'VOCALIST', 'Soraru', 27),
+  ('VOCALIST:Szabó Márton', 'Szabó Márton', 'VOCALIST', 'Szabó Márton', 22),
+  ('VOCALIST:Yorushika', 'Yorushika', 'VOCALIST', 'Yorushika', 17),
+  ('VOCALOID:GUMI', 'GUMI', 'VOCALOID', 'GUMI', 25),
+  ('VOCALOID:Hatsune Miku', 'Hatsune Miku', 'VOCALOID', 'Hatsune Miku', 41),
+  ('VOCALOID:IA', 'IA', 'VOCALOID', 'IA', 12),
+  ('VOCALOID:KAITO', 'KAITO', 'VOCALOID', 'KAITO', 27),
+  ('VOCALOID:Kagamine Rin', 'Kagamine Rin', 'VOCALOID', 'Kagamine Len|Kagamine Rin', 57),
+  ('VOCALOID:Kasane Teto', 'Kasane Teto', 'VOCALOID', 'Kasane Teto', 29),
+  ('VOCALOID:MEIKO', 'MEIKO', 'VOCALOID', 'MEIKO', 33),
+  ('VOCALOID:Megurine Luka', 'Megurine Luka', 'VOCALOID', 'Megurine Luka', 32),
+  ('VOCALOID:flower', 'flower', 'VOCALOID', 'flower', 31)) AS t(node_id, canonical, type, aliases, n)""",
+    "q_kg_edges" ->
+      """SELECT pred, n::BIGINT AS n, ns::BIGINT AS n_src,
+         nd::BIGINT AS n_dst, h::BIGINT AS hashsum FROM (VALUES
+  ('alt_title', 287, 30, 8, 624107864178),
+  ('featuring', 302, 30, 8, 622912900117),
+  ('mentions_person', 284, 284, 8, 618858958089),
+  ('modifier', 861, 30, 3, 1868356848412),
+  ('on_album', 579, 30, 12, 1230686550545),
+  ('performed_by', 1895, 50, 22, 4167856386957),
+  ('vocal_by', 572, 30, 21, 1271372438179)) AS t(pred, n, ns, nd, h)""",
     "q_kg_mention_tag_counts" ->
       """SELECT tag, n::BIGINT AS n FROM (VALUES
   ('ALBUM', 3451),

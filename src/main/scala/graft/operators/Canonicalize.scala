@@ -20,16 +20,27 @@ import graft.Schemas._
  *     suffix per tag — so the theta-join never goes quadratic in the
  *     corpus; char idf is computed globally in one aggregation and
  *     broadcast, making the TF-IDF cosine per candidate pair row-local.
- *  G2 connected components: iterative min-label propagation over joins
- *     ("GraphFrames-style"), converging in O(component diameter)
- *     rounds (alias components are levenshtein balls — near-cliques, so
- *     a handful of rounds); `localCheckpoint` every round cuts lineage;
+ *  G2 connected components over the candidate edges: iterative min-label
+ *     propagation over joins ("GraphFrames-style") with per-round
+ *     pointer jumping; `localCheckpoint` every round cuts lineage;
  *     convergence = no label changed. Component label = lexicographic
  *     min surface key — deterministic under any parallelism.
- *  G3 canonical pick: per component by (n_mentions desc, length desc,
- *     surface asc) via one row_number window.
- *  G4 nodes/edges: triples' subj/obj rewritten onto node ids with two
- *     hash joins against the alias->node map.
+ *  G3 CANOPY REFINEMENT (the components are canopies, not clusters):
+ *     pairwise-similar-at-threshold is not transitive — concatenated
+ *     multi-entity surfaces ("Melt 夜に駆ける", a real decode output
+ *     under the reference's same-tag merge quirk) are similar to BOTH
+ *     constituent titles and chain otherwise-unrelated surfaces; at
+ *     corpus scale transitive closure collapsed EVERY title into one
+ *     component. Each component is therefore refined by greedy leader
+ *     clustering in (n_mentions desc, length desc, surface asc) order:
+ *     a member joins the first LEADER it matches under the tighter
+ *     length-aware criterion [[aliasMatch]] (direct similarity to the
+ *     canonical — no transitivity), else becomes a leader itself. The
+ *     leader is the cluster's canonical. Classic canopy clustering:
+ *     loose cheap criterion for candidate generation, tight criterion
+ *     within the canopy.
+ *  G4 nodes/edges: triples' subj/obj rewritten onto node ids with
+ *     broadcast hash joins against the alias->node map.
  */
 object Canonicalize {
 
@@ -45,10 +56,97 @@ object Canonicalize {
   private def normKey(c: org.apache.spark.sql.Column) =
     regexp_replace(lower(c), "[^\\p{L}\\p{N}]", "")
 
+  /** Row-local char TF-IDF cosine over normalized keys (the sklearn
+    * char-analyzer formula the reference's per-doc dedup uses,
+    * src/prod.py:185-198, against a GLOBAL idf map). */
+  private[operators] def tfidfCosine(ka: String, kb: String,
+      idf: Map[String, Double]): Double = {
+    def vec(s: String): Map[Char, Double] = {
+      val counts = s.groupBy(identity).map { case (c, cs) => c -> cs.length.toDouble }
+      val v = counts.map { case (c, tf) => c -> tf * idf.getOrElse(c.toString, 1.0) }
+      val n = math.sqrt(v.values.map(x => x * x).sum)
+      if (n == 0) v else v.map { case (c, x) => c -> x / n }
+    }
+    val (va, vb) = (vec(ka), vec(kb))
+    va.iterator.map { case (c, x) => x * vb.getOrElse(c, 0.0) }.sum
+  }
+
+  /** Plain-JVM Levenshtein (for the row-local refinement pass; the
+    * candidate-edge join uses Spark's codegen'd levenshtein()). */
+  private[operators] def jvmLev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    var i = 1
+    while (i <= a.length) {
+      var prevDiag = dp(0); dp(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val t = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prevDiag + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prevDiag = t
+        j += 1
+      }
+      i += 1
+    }
+    dp(b.length)
+  }
+
+  /** The TIGHT member-vs-leader criterion for canopy refinement (G3).
+    * Looser thresholds are fine for candidate generation but are NOT
+    * transitively safe: lev<=3 merges "melt" with "lemon", and char
+    * cosine>0.5 holds between a concatenated two-title surface and each
+    * constituent. Here lev is capped relative to the shorter key (a
+    * 4-char key tolerates 1 edit, 12-char keys the reference's full 3 —
+    * src/prod.py:210's absolute 3 was tuned for near-identical surfaces
+    * WITHIN one document), and the cosine path requires enough characters
+    * (>=8) for a char-distribution similarity to carry signal AND a
+    * tighter 0.8 threshold — ANY two longish same-language strings clear
+    * 0.5 on char unigrams ("ashesofthedawn" vs "hollowcathedral" does),
+    * which is fine for generating candidates but not for merging. */
+  private[operators] def aliasMatch(nka: String, nkb: String,
+      idf: Map[String, Double]): Boolean = {
+    val minLen = math.min(nka.codePointCount(0, nka.length),
+      nkb.codePointCount(0, nkb.length))
+    val levCap = math.min(3, math.max(1, minLen / 4))
+    jvmLev(nka, nkb) <= levCap ||
+      (minLen >= 8 && tfidfCosine(nka, nkb, idf) > 0.8)
+  }
+
+  /** UTF-8 binary string comparison — Spark's string ordering, used for
+    * the deterministic refinement order so JVM-side sorts agree with any
+    * engine-side orderBy on the same data. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val r = (x(i) & 0xff) - (y(i) & 0xff)
+      if (r != 0) return r
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Distinct surface forms with mention counts: (tag, surface, n). */
   def surfaceForms(mentions: DataFrame): DataFrame =
     mentions.groupBy(col("tag"), col("text").as("surface"))
       .agg(count(lit(1)).as("n_mentions"))
+
+  /** Global char idf over the normalized distinct surface forms (one
+    * aggregation; the map is alphabet-sized — bounded by distinct chars,
+    * not corpus size — so collecting it to the driver is safe at any
+    * scale). Shared by candidate generation and canopy refinement. */
+  def charIdf(spark: SparkSession, forms: DataFrame): Map[String, Double] = {
+    val f = forms.select(normKey(col("surface")).as("nk"))
+      .where(length(col("nk")) > 0)
+    val nForms = f.count()
+    f.select(explode(array_distinct(split(col("nk"), ""))).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("ch").count()
+      .collect()
+      .map(r => r.getString(0) -> (math.log((1.0 + nForms) / (1.0 + r.getLong(1))) + 1.0))
+      .toMap
+  }
 
   /**
    * G1: candidate pairs via prefix/suffix blocking, edge iff
@@ -56,21 +154,14 @@ object Canonicalize {
    * Returns (src, dst) over surface keys tag+NUL+surface (U+0000 separator).
    */
   def aliasEdges(spark: SparkSession, forms: DataFrame,
-      maxBlockSize: Int = 1000): DataFrame = {
+      maxBlockSize: Int = 1000,
+      idfOpt: Option[Map[String, Double]] = None): DataFrame = {
     import spark.implicits._
     val f = forms.select(col("tag"), col("surface"),
       normKey(col("surface")).as("nk")).where(length(col("nk")) > 0)
 
-    // global char document frequency over distinct surfaces -> idf map
-    val nForms = f.count()
-    val dfMap: Map[String, Double] = f
-      .select(explode(array_distinct(split(col("nk"), ""))).as("ch"))
-      .where(col("ch") =!= "")
-      .groupBy("ch").count()
-      .collect()
-      .map(r => r.getString(0) -> (math.log((1.0 + nForms) / (1.0 + r.getLong(1))) + 1.0))
-      .toMap
-    val idfB = spark.sparkContext.broadcast(dfMap)
+    val idfB = spark.sparkContext.broadcast(
+      idfOpt.getOrElse(charIdf(spark, forms)))
 
     val blocked0 = f
       .withColumn("blk", explode(array(
@@ -93,15 +184,7 @@ object Canonicalize {
     val b = blocked.select(col("blk"),
       col("surface").as("sb"), col("nk").as("kb"))
     val simUdf = udf { (ka: String, kb: String) =>
-      val idf = idfB.value
-      def vec(s: String): Map[Char, Double] = {
-        val counts = s.groupBy(identity).map { case (c, cs) => c -> cs.length.toDouble }
-        val v = counts.map { case (c, tf) => c -> tf * idf.getOrElse(c.toString, 1.0) }
-        val n = math.sqrt(v.values.map(x => x * x).sum)
-        if (n == 0) v else v.map { case (c, x) => c -> x / n }
-      }
-      val (va, vb) = (vec(ka), vec(kb))
-      va.iterator.map { case (c, x) => x * vb.getOrElse(c, 0.0) }.sum
+      tfidfCosine(ka, kb, idfB.value)
     }
     a.join(b, Seq("blk"))
       .where(col("sa") < col("sb")) // canonical pair order, no self-pairs
@@ -194,26 +277,57 @@ object Canonicalize {
     labels
   }
 
-  /** G1+G2+G3: surface forms -> (tag, surface, node_id, canonical). */
+  /** G1+G2+G3: surface forms -> (tag, surface, node_id, canonical).
+    *
+    * The CC output is treated as CANOPIES and refined per component by
+    * greedy leader clustering (see the object Scaladoc): members are
+    * visited in (n_mentions desc, codepoint-length desc, surface
+    * UTF-8-asc) order; each joins the first leader it [[aliasMatch]]es,
+    * else founds a cluster. One `flatMapGroups` per component - the
+    * shuffle moves only the (tiny) distinct-forms table, and the
+    * per-component work is row-local O(members x leaders) compute. A
+    * pathological canopy (every member its own leader) degrades to
+    * O(m^2) inside one task; canopies are bounded in practice by the
+    * [[aliasEdges]] hot-block guard, which caps the edge fan-out that
+    * could chain a huge canopy together. */
   def canonicalMap(spark: SparkSession, mentions: DataFrame): DataFrame = {
+    import spark.implicits._
     val forms = surfaceForms(mentions).localCheckpoint()
-    val edges = aliasEdges(spark, forms)
+    val idf = charIdf(spark, forms)
+    val idfB = spark.sparkContext.broadcast(idf)
+    val edges = aliasEdges(spark, forms, idfOpt = Some(idf))
     val verts = forms.select(
       concat_ws("\u0000", col("tag"), col("surface")).as("id"))
     val cc = connectedComponents(spark, verts, edges)
     val labeled = forms
       .withColumn("id", concat_ws("\u0000", col("tag"), col("surface")))
       .join(cc, "id")
-    // G3: representative per component: freq desc, length desc, lexicographic
-    val w = Window.partitionBy(col("component")).orderBy(
-      col("n_mentions").desc, length(col("surface")).desc, col("surface").asc)
-    val rep = labeled.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("component"), col("surface").as("canonical"))
-    labeled.join(rep, "component")
-      .select(col("tag"), col("surface"), col("n_mentions"),
-        concat_ws(":", col("tag"), col("canonical")).as("node_id"),
-        col("canonical"))
+    labeled
+      .select(col("component"), col("tag"), col("surface"),
+        col("n_mentions"), normKey(col("surface")).as("nk"))
+      .as[(String, String, String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray.sortWith { (a, b) =>
+          if (a._4 != b._4) a._4 > b._4 // n_mentions desc
+          else {
+            val la = a._3.codePointCount(0, a._3.length)
+            val lb = b._3.codePointCount(0, b._3.length)
+            if (la != lb) la > lb // length desc
+            else utf8Compare(a._3, b._3) < 0 // surface asc (UTF-8)
+          }
+        }
+        val idfMap = idfB.value
+        // leaders in founding order; a member joins its FIRST match
+        val leaders = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String)] // (surface, nk)
+        members.iterator.map { case (_, tag, surface, n, nk) =>
+          val leader = leaders.find(l => aliasMatch(nk, l._2, idfMap))
+            .map(_._1).getOrElse { leaders += ((surface, nk)); surface }
+          (tag, surface, n, tag + ":" + leader, leader)
+        }
+      }
+      .toDF("tag", "surface", "n_mentions", "node_id", "canonical")
   }
 
   /** G4a: nodes table. */

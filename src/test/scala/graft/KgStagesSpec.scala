@@ -90,6 +90,31 @@ class KgStagesSpec extends SparkSuite {
     assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
   }
 
+  test("canopy refinement: a bridge surface does NOT chain unrelated titles") {
+    import spark.implicits._
+    // "aaaa" and "bbb" are unrelated titles; "aaaa bbb" is the
+    // concatenated two-title surface the decode same-tag-merge quirk
+    // produces. Candidate edges connect all three into ONE canopy
+    // (aaaa—aaaabbb via lev<=3 on the shared prefix block, aaaabbb—bbb
+    // via cosine on the shared suffix block), so pre-refinement CC gave
+    // one component — and transitive closure would emit ONE node.
+    // Refinement must keep three: neither title matches the other (or
+    // the bridge) under the tight member-vs-leader criterion.
+    val mentions = (Seq.fill(5)(("TITLE", "aaaa")) ++
+      Seq.fill(3)(("TITLE", "bbb")) ++ Seq(("TITLE", "aaaa bbb")))
+      .toDF("tag", "text")
+    val cm = Canonicalize.canonicalMap(spark, mentions)
+    val canon = cm.collect().map(r =>
+      r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+    assert(canon == Map("aaaa" -> "aaaa", "bbb" -> "bbb",
+      "aaaa bbb" -> "aaaa bbb"), s"chain collapsed: $canon")
+    // sanity: the canopy WAS connected (the guard is refinement, not
+    // blocking) — all three share one CC component
+    val forms = Canonicalize.surfaceForms(mentions)
+    val edges = Canonicalize.aliasEdges(spark, forms)
+    assert(edges.count() >= 2, "fixture must actually form a bridged canopy")
+  }
+
   test("mention-source union: quoted unknown spans become regex ALT_TITLE") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)

@@ -18,6 +18,22 @@ import org.apache.spark.sql.SparkSession
  * Run: sbt -batch "Test/runMain graft.tools.KgOracleDump"
  */
 object KgOracleDump {
+
+  /** Spark's string ordering is UTF-8 BINARY byte order; Scala's default
+    * String ordering is UTF-16 code-unit order. They diverge for
+    * supplementary-plane characters, so every sort that must match an
+    * engine `orderBy`/`min`/`sort_array` uses THIS ordering. */
+  val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < x.length && i < y.length) {
+      r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
+
   def main(args: Array[String]): Unit = {
     val nConvs = 2000L // == TranscriptGen.convsForSfDir("...sf0.01...")
     val spark = SparkSession.builder().master("local[16]")
@@ -75,7 +91,8 @@ object KgOracleDump {
     }
 
     def sample(ts: Seq[(String, Int, String, String, String)]) =
-      ts.sortBy(t => (t._1, t._2, t._3, t._4, t._5)).take(50)
+      ts.sorted(Ordering.Tuple5(utf8Ordering, Ordering.Int, utf8Ordering,
+        utf8Ordering, utf8Ordering)).take(50)
     val (os, es) = (sample(expected), sample(got))
     println(s"top-50 sample MATCH: ${os == es}")
 
@@ -132,7 +149,12 @@ object KgOracleDump {
       "predict(): engine != ReferenceOracle — fix before minting")
     val predTagCounts = predOracle.groupBy(_._2).view.mapValues(_.size.toLong)
       .toMap
-    val predSample = predOracle.sorted.take(50)
+    // UTF-8 byte order, matching the gate query's Spark orderBy (a Scala
+    // tuple sort is UTF-16 code-unit order — divergent for astral chars
+    // near the 50-row boundary)
+    val predSample = predOracle
+      .sorted(Ordering.Tuple3(utf8Ordering, utf8Ordering, utf8Ordering))
+      .take(50)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/predict_tag_counts.sql"),
       predTagCounts.toSeq.sortBy(_._1)
@@ -141,9 +163,229 @@ object KgOracleDump {
       java.nio.file.Paths.get("/tmp/predict_sample.sql"),
       predSample.map { case (id, t, e) => s"(${sq(id)}, ${sq(t)}, ${sq(e)})" }
         .mkString(",\n  "))
+    // ---- canonicalization oracle (VERDICT r3 item 1): an INDEPENDENT
+    // single-threaded re-implementation of the G1-G4 graph stage —
+    // prefix/suffix blocking, global-char-idf TF-IDF + levenshtein alias
+    // edges, union-find components, freq/len/lex representative pick,
+    // node/edge materialization — sharing NO code with
+    // graft.operators.Canonicalize (different algorithms where possible:
+    // union-find vs label propagation). Expected q_kg_nodes rows and the
+    // q_kg_edges per-pred digests are computed here at the pinned
+    // 300-conv corpus and compared against the engine BEFORE minting.
+    val nCanon = 300L
+
+    // mentions boundary = decode + me-sub (what Decode.mentions emits);
+    // tokens/tags from the engine, same scope note as the KG gates above
+    val canonMentions: Seq[(String, String)] = (0L until nCanon).flatMap { c =>
+      TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
+        val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+        val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+        ReferenceOracle.meSubstitute(
+          ReferenceOracle.decode(t.text, toks, tags),
+          if (t.role == null) "" else t.role)
+          .map { case (tag, txt, _, _) => (tag, txt) }
+      }
+    }
+    final case class Form(tag: String, surface: String, n: Long, nk: String)
+    val nonAlnum = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]")
+    def normKey(s: String): String =
+      nonAlnum.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+    val allForms: Seq[Form] = canonMentions.groupBy(identity).toSeq
+      .map { case ((tag, sf), xs) => Form(tag, sf, xs.size.toLong, normKey(sf)) }
+    val nkForms = allForms.filter(_.nk.nonEmpty)
+
+    // global char idf over the nk-bearing forms (mirrors aliasEdges)
+    val nForms = nkForms.size
+    val idf: Map[String, Double] = nkForms
+      .flatMap(f => f.nk.map(_.toString).distinct)
+      .groupBy(identity).map { case (ch, xs) =>
+        ch -> (math.log((1.0 + nForms) / (1.0 + xs.size)) + 1.0) }
+
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prevDiag = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prevDiag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prevDiag = t
+        }
+      }
+      dp(b.length)
+    }
+    def tfidfCos(a: String, b: String): Double = {
+      def vec(s: String): Map[Char, Double] = {
+        val v = s.groupBy(identity).map { case (c, cs) =>
+          c -> cs.length.toDouble * idf.getOrElse(c.toString, 1.0) }
+        val n = math.sqrt(v.values.map(x => x * x).sum)
+        if (n == 0) v else v.map { case (c, x) => c -> x / n }
+      }
+      val (va, vb) = (vec(a), vec(b))
+      va.iterator.map { case (c, x) => x * vb.getOrElse(c, 0.0) }.sum
+    }
+
+    // blocking (p:/s: 2-char keys per tag), hot blocks (>1000) dropped
+    val blockEntries: Seq[(String, Form)] = nkForms.flatMap { f =>
+      Seq(s"p:${f.tag}:${f.nk.take(2)}" -> f,
+        s"s:${f.tag}:${f.nk.reverse.take(2)}" -> f)
+    }
+    val blockSizes = blockEntries.groupBy(_._1).view.mapValues(_.size).toMap
+    def key(f: Form) = f.tag + "\u0000" + f.surface
+
+    // union-find over ALL form keys (isolates included, like the engine's
+    // vertices = all forms)
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    allForms.foreach(f => parent(key(f)) = key(f))
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    blockEntries.filter { case (b, _) => blockSizes(b) <= 1000 }
+      .groupBy(_._1).values.foreach { fs =>
+        val list = fs.map(_._2).toIndexedSeq
+        for (i <- list.indices; j <- list.indices if i != j) {
+          val (a, b) = (list(i), list(j))
+          if (utf8Ordering.lt(a.surface, b.surface) &&
+            (lev(a.nk, b.nk) <= 3 || tfidfCos(a.nk, b.nk) > 0.5))
+            union(key(a), key(b))
+        }
+      }
+
+    // canopy refinement (mirrors Canonicalize G3, independent code):
+    // members in (n desc, codepoint-length desc, surface UTF-8 asc)
+    // order; each joins the FIRST leader it matches under the tight
+    // length-aware criterion, else founds a cluster
+    def aliasMatchOracle(nka: String, nkb: String): Boolean = {
+      val minLen = math.min(nka.codePointCount(0, nka.length),
+        nkb.codePointCount(0, nkb.length))
+      val levCap = math.min(3, math.max(1, minLen / 4))
+      lev(nka, nkb) <= levCap ||
+        (minLen >= 8 && tfidfCos(nka, nkb) > 0.8)
+    }
+    val components: Map[String, Seq[Form]] =
+      allForms.groupBy(f => find(key(f)))
+    final case class CanonRow(tag: String, surface: String, n: Long,
+        nodeId: String, canonical: String)
+    val memberOrder = new Ordering[Form] {
+      def compare(a: Form, b: Form): Int = {
+        val byN = java.lang.Long.compare(b.n, a.n)
+        if (byN != 0) return byN
+        val byLen = Integer.compare(
+          b.surface.codePointCount(0, b.surface.length),
+          a.surface.codePointCount(0, a.surface.length))
+        if (byLen != 0) return byLen
+        utf8Ordering.compare(a.surface, b.surface)
+      }
+    }
+    val canonRows: Seq[CanonRow] = components.values.toSeq.flatMap { fs =>
+      val leaders = scala.collection.mutable.ArrayBuffer.empty[Form]
+      fs.sorted(memberOrder).map { f =>
+        val leader = leaders.find(l => aliasMatchOracle(f.nk, l.nk))
+          .getOrElse { leaders += f; f }
+        CanonRow(f.tag, f.surface, f.n,
+          f.tag + ":" + leader.surface, leader.surface)
+      }
+    }
+
+    // nodes: group by (node_id, canonical, tag); aliases sorted UTF-8
+    val nodeRows: Seq[(String, String, String, String, Long)] = canonRows
+      .groupBy(r => (r.nodeId, r.canonical, r.tag)).toSeq
+      .map { case ((nid, canon, tag), rs) =>
+        (nid, canon, tag,
+          rs.map(_.surface).distinct.sorted(utf8Ordering).mkString("|"),
+          rs.map(_.n).sum)
+      }
+    val engNodes = graft.SparkEntry.queries("q_kg_nodes")(spark, "/unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    println(s"canon nodes MATCH: ${nodeRows.sortBy(_._1) == engNodes.sortBy(_._1)} " +
+      s"(oracle=${nodeRows.size}, engine=${engNodes.size})")
+    if (nodeRows.sortBy(_._1) != engNodes.sortBy(_._1)) {
+      (nodeRows.sortBy(_._1) zip engNodes.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(5).foreach(p =>
+          println(s"  oracle=${p._1}\n  engine=${p._2}"))
+    }
+    require(nodeRows.sortBy(_._1) == engNodes.sortBy(_._1),
+      "canonicalization nodes: engine != independent oracle — fix before minting")
+
+    // edges: ReferenceOracle triples at 300 convs, endpoints rewritten
+    // via the oracle's canonical map (FIXTURES.md §3 pred->obj-tag rule,
+    // inlined independently of Canonicalize.predObjTag)
+    val canonTriples: Seq[(String, Int, String, String, String)] =
+      (0L until nCanon).flatMap { c =>
+        TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
+          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+          ReferenceOracle.extract(t.conv_id, t.turn_idx, t.role, t.text, toks, tags)
+            .map { case (s2, p, o) => (t.conv_id, t.turn_idx, s2, p, o) }
+        }
+      }
+    val titleMap = canonRows.filter(_.tag == "TITLE")
+      .map(r => r.surface -> r.nodeId).toMap
+    val vocalMap = canonRows
+      .filter(r => r.tag == "VOCALIST" || r.tag == "VOCALOID")
+      .groupBy(_.surface).map { case (sf, rs) =>
+        sf -> rs.map(_.nodeId).min(utf8Ordering) }
+    val objTagOf = Map("performed_by" -> "ORIGINAL_AUTHOR",
+      "featuring" -> "FEATURING", "on_album" -> "ALBUM",
+      "alt_title" -> "ALT_TITLE", "mentions_person" -> "MISC_PERSON",
+      "modifier" -> "MODIFIER", "refers_to" -> "TITLE")
+    val objMap = canonRows.map(r => (r.tag, r.surface) -> r.nodeId).toMap
+    val edgeRows = canonTriples.map { case (cid, ti, s2, p, o) =>
+      val src = titleMap.getOrElse(s2, s2)
+      val dst =
+        if (p == "vocal_by") vocalMap.getOrElse(o, o)
+        else objTagOf.get(p).flatMap(ot => objMap.get((ot, o))).getOrElse(o)
+      (src, p, dst, cid, ti)
+    }
+    def h8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val edgeDigest: Seq[(String, Long, Long, Long, Long)] = edgeRows
+      .groupBy(_._2).toSeq.map { case (p, rows) =>
+        (p, rows.size.toLong,
+          rows.map(_._1).distinct.size.toLong,
+          rows.map(_._3).distinct.size.toLong,
+          rows.map(r => h8(Seq(r._1, r._2, r._3, r._4, r._5.toString)
+            .mkString("\u0001"))).sum)
+      }
+    val engEdges = graft.SparkEntry.queries("q_kg_edges")(spark, "/unused")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    println(s"canon edge digest MATCH: " +
+      s"${edgeDigest.sortBy(_._1) == engEdges.sortBy(_._1)}")
+    if (edgeDigest.sortBy(_._1) != engEdges.sortBy(_._1)) {
+      println(s"  oracle: ${edgeDigest.sortBy(_._1)}")
+      println(s"  engine: ${engEdges.sortBy(_._1)}")
+    }
+    require(edgeDigest.sortBy(_._1) == engEdges.sortBy(_._1),
+      "canonicalization edges: engine != independent oracle — fix before minting")
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/kg_nodes.sql"),
+      nodeRows.sortBy(_._1)(utf8Ordering).map { case (nid, canon, tag, al, n) =>
+        s"(${sq(nid)}, ${sq(canon)}, ${sq(tag)}, ${sq(al)}, $n)"
+      }.mkString(",\n  "))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/kg_edges_digest.sql"),
+      edgeDigest.sortBy(_._1).map { case (p, n, ns, nd, h) =>
+        s"(${sq(p)}, $n, $ns, $nd, $h)"
+      }.mkString(",\n  "))
+
     println("wrote /tmp/kg_pred_counts.sql, /tmp/kg_sample.sql, " +
       "/tmp/kg_mention_tags.sql, /tmp/predict_tag_counts.sql, " +
-      "/tmp/predict_sample.sql")
+      "/tmp/predict_sample.sql, /tmp/kg_nodes.sql, /tmp/kg_edges_digest.sql")
     spark.stop()
   }
 }
