@@ -92,6 +92,26 @@ object SparkEntry {
     decodedPrefix(s, 300L).count() // the pinned canon-gate corpus
   }
 
+  /** Pinned fixture for the q_simhash_pairs gate (sf-independent):
+    * exact duplicates (1,2), one-token near-duplicates (1,3) and (4,5),
+    * and unrelated texts. Shared with graft.tools.KgOracleDump, which
+    * computes the expected pairs with an independent xxHash64 + simhash
+    * implementation and mints the VALUES oracle. */
+  val simhashFixture: Seq[(Long, String)] = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+      "bank while the morning sun rises slowly above the quiet valley town"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river " +
+      "bank while the morning sun rises slowly above the quiet valley town"),
+    (3L, "the quick brown fox jumps over the lazy dog near the old river " +
+      "bank while the evening sun rises slowly above the quiet valley town"),
+    (4L, "synthetic vocal covers spread rapidly across video platforms as " +
+      "producers remix classical hungarian folk melodies into electronic " +
+      "dance arrangements every single week"),
+    (5L, "synthetic vocal covers spread rapidly across video platforms as " +
+      "producers remix modern hungarian folk melodies into electronic " +
+      "dance arrangements every single week"),
+    (6L, "completely unrelated short text about parquet column statistics"))
+
   /** Flagship: full KG extraction on synthesized transcripts. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.extract(spark, TranscriptGen.generate(spark, 200L)).toDF()
@@ -346,30 +366,56 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.format").as("format"))
     }),
 
-    // ---- hash-seeded near-dup (no SQL oracle: rows-only checks)
+    // ---- hash-seeded near-dup — all value-gated (VERDICT r3 item 3)
     "q_minhash_pairs" -> ((s, d) =>
+      // LSH-candidate + exact-verify pairs; because verification is the
+      // SAME exact shingle Jaccard the q_ngram_jaccard inverted index
+      // computes, the output is gated against the ngram oracle SQL
+      // verbatim — which also makes LSH recall itself part of the gate
+      // (a recall regression drops rows and the row counts diverge)
       DocDedup.minhashLshPairs(t(s, d, "documents")
-        .where(col("doc_id") < 500), threshold = 0.5)),
-    "q_simhash_sigs" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        DocDedup.simhash(col("text")).as("sig"))),
+        .where(col("doc_id") < 500), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jac"))),
+    "q_simhash_pairs" -> ((s, d) => {
+      // SimHash near-dup over a PINNED fixture (sf-independent), gated
+      // by VALUES minted from an independent from-scratch xxHash64 +
+      // simhash implementation in KgOracleDump (asserts engine==oracle
+      // sig-for-sig before minting). The organic-corpus path is pinned
+      // by DocOpsSpec.
+      import s.implicits._
+      SparkEntry.simhashFixture.toDF("doc_id", "text")
+        .transform(df => DocDedup.simhashPairs(df))
+    }),
     "q_embed_lsh_pairs" -> ((s, d) => {
       // the synthetic embeddings are near-orthogonal (max pairwise cosine
       // ≈ 0.5 at every sf), so an all-pairs gate over the raw table was
       // vacuously empty (0 rows in CORRECTNESS_r02 — a gate that cannot
       // fail). Plant deterministic near-duplicates (vec_id + 1e6, first
       // coordinate nudged, cosine ≈ 0.999) so the gate has rows to lose
-      // if the LSH pair path regresses.
+      // if the LSH pair path regresses. Ids-only output: the pair SET is
+      // gated against a DuckDB exact all-pairs cosine oracle (which also
+      // gates LSH recall on the planted pairs); the cosine VALUES
+      // themselves are float-vs-double sensitive and stay out of the hash.
       val emb = t(s, d, "embeddings").select("vec_id", "embedding")
       val planted = emb.where(col("vec_id") < 20).select(
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
       Similarity.lshCosinePairs(emb.unionByName(planted), threshold = 0.9)
+        .select("vec_a", "vec_b")
     }),
     "q_embed_ivf_topk" -> ((s, d) => {
+      // IVF exactness gate: with nProbe == nCentroids every cell is
+      // probed, so the output MUST equal exact brute force — any bug in
+      // assignment, probing, or ranking breaks the equality (oracle =
+      // the same DuckDB SQL as q_embed_topk). The approximate
+      // (nProbe < nCentroids) path and its recall are pinned by
+      // StatefulSpec/DocOpsSpec.
       val emb = t(s, d, "embeddings")
-      IvfIndex.ivfTopK(emb.where(col("vec_id") < 10), emb, 5)
+      IvfIndex.ivfTopK(emb.where(col("vec_id") < 10), emb, 5,
+        nCentroids = 16, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
     }),
 
     "q_predict_videos" -> ((s, d) =>
@@ -452,13 +498,47 @@ object SparkEntry {
       Triples.triples(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d))).toDF()),
     "q_kg_linked" -> ((s, d) => {
+      // sf-scale stage timing (rows-only); the VALUE gate for this stage
+      // is q_kg_linked_digest below
       val dict = s.sparkContext.broadcast(Linker.buildDict())
       Linker.link(s, Decode.mentions(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d))), dict).toDF()
     }),
+    "q_kg_linked_digest" -> ((s, d) => {
+      // linking VALUES gate: per-score-tier counts, distinct entity ids
+      // and an md5 hashsum over (conv, turn, tag, text, entity_id) at the
+      // pinned 300-conv corpus; expected values minted by KgOracleDump's
+      // independent transcription of the scoring ladder
+      val dict = s.sparkContext.broadcast(Linker.buildDict())
+      Linker.link(s, Decode.mentions(s, decodedPrefix(s, 300L)), dict).toDF()
+        .select(col("link_score"), col("entity_id"),
+          conv(substring(md5(concat_ws("\u0001", col("conv_id"),
+            col("turn_idx").cast("string"), col("tag"), col("text"),
+            col("entity_id"))), 1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("link_score")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("entity_id").as("n_entities"),
+          sum("h").as("hashsum"))
+    }),
     "q_kg_coref" -> ((s, d) =>
+      // sf-scale stage timing (rows-only); the VALUE gate for this stage
+      // is q_kg_coref_digest below
       Coref.triples(s, Coref.resolve(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d)))).toDF()),
+    "q_kg_coref_digest" -> ((s, d) =>
+      // coref VALUES gate: refers_to triples at the pinned 300-conv
+      // corpus, digested like q_kg_edges (count, distinct endpoints,
+      // md5 hashsum over the U+0001-joined row); expected values minted
+      // by KgOracleDump's independent single-threaded transcription of
+      // the recency-window semantics
+      Coref.triples(s, Coref.resolve(s, decodedPrefix(s, 300L))).toDF()
+        .select(col("pred"), col("subj"), col("obj"),
+          conv(substring(md5(concat_ws("\u0001", col("subj"), col("pred"),
+            col("obj"), col("conv_id"), col("turn_idx").cast("string"))),
+            1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"), countDistinct("subj").as("n_src"),
+          countDistinct("obj").as("n_dst"), sum("h").as("hashsum"))),
     "q_kg_nodes" -> ((s, d) => {
       // G1-G4a VALUES gate: the FULL nodes table at a pinned 300-conv
       // corpus, hash-checked against literals minted by the INDEPENDENT
@@ -769,6 +849,82 @@ object SparkEntry {
          CASE ascii(substr(text, 1, 1)) % 4 WHEN 0 THEN 'jpeg'
            WHEN 1 THEN 'png' WHEN 2 THEN 'webp' ELSE 'bin' END AS format
          FROM documents""",
+    // near-dup gates (VERDICT r3 item 3): the LSH/minhash candidate
+    // paths are gated against EXACT all-pairs oracles — recall and
+    // verification both in the hash
+    "q_minhash_pairs" ->
+      // identical to the q_ngram_jaccard oracle: minhash LSH candidates
+      // verify with the same exact shingle Jaccard, so the surviving
+      // pair set must equal the inverted-index exact computation
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+             FROM (SELECT doc_id, string_split_regex(lower(trim(text)),
+               '\s+') AS toks FROM documents WHERE doc_id < 500))
+           WHERE sh <> ''),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS c
+           FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(round(c::double / (sa.n + sb.n - c), 6), 4) AS jac
+         FROM common
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE round(c::double / (sa.n + sb.n - c), 6) >= 0.5""",
+    "q_kg_linked_digest" ->
+      // minted by KgOracleDump's independent scoring-ladder transcription
+      // (300-conv pinned corpus). No 0.7 tier on this corpus: gazetteer
+      // surfaces hit exactly or fall through to surface-form ids.
+      """SELECT score::DOUBLE AS link_score, n::BIGINT AS n,
+         ne::BIGINT AS n_entities, h::BIGINT AS hashsum FROM (VALUES
+  (0.5, 99, 95, 217959011915),
+  (0.9, 675, 2, 1464734101828),
+  (1.0, 6588, 111, 14245158430225)) AS t(score, n, ne, h)""",
+    "q_kg_coref_digest" ->
+      // minted by KgOracleDump's independent coref transcription
+      // (300-conv pinned corpus; digest format as q_kg_edges)
+      """SELECT pred, n::BIGINT AS n, ns::BIGINT AS n_src,
+         nd::BIGINT AS n_dst, h::BIGINT AS hashsum FROM (VALUES
+  ('refers_to', 246, 246, 39, 544363400284)) AS t(pred, n, ns, nd, h)""",
+    "q_simhash_pairs" ->
+      // VALUES minted by KgOracleDump's from-scratch XXH64 + simhash
+      // implementation over the pinned SparkEntry.simhashFixture (the
+      // mint asserts Spark xxhash64 == the independent XXH64 first):
+      // exact dup (1,2) at hamming 0, one-token near-dups at hamming 3
+      """SELECT a::BIGINT AS doc_a, b::BIGINT AS doc_b, h AS hamming
+         FROM (VALUES (1, 2, 0), (1, 3, 3), (2, 3, 3)) AS t(a, b, h)""",
+    "q_embed_lsh_pairs" ->
+      // exact all-pairs cosine (double) over base ∪ planted near-dups;
+      // the engine's LSH-bucketed pair set must equal it — candidate
+      // recall on the planted pairs is part of the gate
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + 1000000 AS vec_id,
+             list_prepend(embedding[1] + 0.05, embedding[2:]) AS embedding
+           FROM base WHERE vec_id < 20),
+         all_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM base
+           UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.e, b.e) >= 0.9""",
+    "q_embed_ivf_topk" ->
+      // same oracle as q_embed_topk: probing every IVF cell must
+      // reproduce exact brute force
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qe::DOUBLE[],
+               e.embedding::DOUBLE[]), 6) AS cos
+           FROM q, embeddings e WHERE e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5""",
     // KG gates: expected values minted by graft.tools.KgOracleDump from
     // the independent ReferenceOracle transcription at sf0.01 (the
     // driver's Verify scale). Not derived from the engine.

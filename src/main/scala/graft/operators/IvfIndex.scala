@@ -24,7 +24,7 @@ object IvfIndex {
 
   /** Row-local: index of the nearest centroid (ties -> lowest index). */
   private def nearestUdf(centroids: Array[Array[Double]]) =
-    udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Double]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
@@ -40,7 +40,7 @@ object IvfIndex {
 
   /** Row-local: the nProbe nearest centroid ids (ascending distance). */
   private def probesUdf(centroids: Array[Array[Double]], nProbe: Int) =
-    udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Double]) =>
       centroids.indices.map { c =>
         var d = 0.0; var j = 0
         val ctr = centroids(c)
@@ -50,13 +50,20 @@ object IvfIndex {
       }.sorted.take(nProbe).map(_._2)
     }
 
+  /** Cast the embedding column to array<double> up front: ALL IVF
+    * arithmetic (k-means, probing, the final cosine) then runs in double,
+    * matching a double-precision oracle bit-for-bit and removing
+    * float-accumulation rank instability near ties. */
+  private def asDouble(df: DataFrame): DataFrame =
+    df.withColumn("embedding", col("embedding").cast("array<double>"))
+
   /** Mini k-means (deterministic): init = first k by vec_id, `iters`
     * assignment/update rounds. Returns k x dim centroids. */
-  def train(embeddings: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
-    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+  def train(embeddings0: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val embeddings = asDouble(embeddings0)
     var centroids: Array[Array[Double]] = embeddings.orderBy("vec_id")
       .limit(k).select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
       val assigned = embeddings.withColumn("cell",
@@ -77,9 +84,12 @@ object IvfIndex {
   }
 
   /** ANN top-k via IVF cells; output shape matches
-    * [[Similarity.bruteForceTopK]] for recall measurement. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+    * [[Similarity.bruteForceTopK]] for recall measurement. With
+    * nProbe == nCentroids every cell is probed and the result equals
+    * exact brute force (the driver's q_embed_ivf_topk exactness gate). */
+  def ivfTopK(queries0: DataFrame, corpus0: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val (queries, corpus) = (asDouble(queries0), asDouble(corpus0))
     val centroids = train(corpus, nCentroids, iters)
     val cells = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),

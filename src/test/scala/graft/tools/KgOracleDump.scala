@@ -383,9 +383,212 @@ object KgOracleDump {
         s"(${sq(p)}, $n, $ns, $nd, $h)"
       }.mkString(",\n  "))
 
+    // ---- linking oracle: independent transcription of the scoring
+    // ladder (exact gazetteer / speaker / normalized / surface-form
+    // fallback — Linker.linkOne semantics). Gazetteer tables are shared
+    // DATA (like the fixture texts); the ladder logic is re-implemented.
+    val linkRows: Seq[(String, Int, String, String, String, Double)] = {
+      def normL(s2: String): String =
+        s2.toLowerCase(java.util.Locale.ROOT).filter(_.isLetterOrDigit)
+      val exactIdx = graft.Gazetteer.linkIndex
+      val normIdx: Map[String, String] = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        graft.Gazetteer.entries.sortBy(_.priority).foreach { e =>
+          val k = normL(e.surface)
+          if (k.nonEmpty && !m.contains(k)) m(k) = e.entityId
+        }
+        m.toMap
+      }
+      val speakerRoles = Set("user", "assistant", "system", "tool")
+      (0L until nCanon).flatMap { c =>
+        TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
+          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+          ReferenceOracle.meSubstitute(
+            ReferenceOracle.decode(t.text, toks, tags),
+            if (t.role == null) "" else t.role)
+            .map { case (tag, txt, _, _) =>
+              val lower = txt.toLowerCase(java.util.Locale.ROOT)
+              val (eid, score): (String, Double) =
+                exactIdx.get(lower).map(e => (e, 1.0))
+                  .orElse(if (speakerRoles.contains(lower))
+                    Some((s"speaker:$lower", 0.9)) else None)
+                  .orElse(normIdx.get(normL(txt)).map(e => (e, 0.7)))
+                  .getOrElse((s"sf:$tag:${normL(txt)}", 0.5))
+              (t.conv_id, t.turn_idx, tag, txt, eid, score)
+            }
+        }
+      }
+    }
+    val linkDigest: Seq[(Double, Long, Long, Long)] = linkRows
+      .groupBy(_._6).toSeq.map { case (score, rows) =>
+        (score, rows.size.toLong,
+          rows.map(_._5).distinct.size.toLong,
+          rows.map(r => h8(Seq(r._1, r._2.toString, r._3, r._4, r._5)
+            .mkString(""))).sum)
+      }
+    val engLinked = graft.SparkEntry.queries("q_kg_linked_digest")(spark, "/unused")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    println(s"linked digest MATCH: ${linkDigest.sorted == engLinked.sorted}")
+    if (linkDigest.sorted != engLinked.sorted) {
+      println(s"  oracle: ${linkDigest.sorted}\n  engine: ${engLinked.sorted}")
+    }
+    require(linkDigest.sorted == engLinked.sorted,
+      "linking: engine != independent oracle — fix before minting")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/linked_digest.sql"),
+      linkDigest.sortBy(_._1).map { case (sc, n, ne, h) =>
+        s"($sc, $n, $ne, $h)"
+      }.mkString(",\n  "))
+
+    // ---- coref oracle: independent single-threaded transcription of
+    // the recency-window semantics (Coref.resolve: a titleless turn with
+    // an anaphor refers to the most recent TITLE within 5 turns of the
+    // same conversation; state updates AFTER resolving) over the same
+    // pinned 300-conv corpus; digested like the edges gate.
+    val anaphorRe = java.util.regex.Pattern.compile(
+      "(?i)\\b(it|that (song|track|tune))\\b")
+    val corefRows: Seq[(String, String, String, String, Int)] =
+      (0L until nCanon).flatMap { c =>
+        var recent = List.empty[(Int, String)]
+        TranscriptGen.turnsOfConv(42L, c, 8).sortBy(_.turn_idx).flatMap { t =>
+          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+          val ents = ReferenceOracle.meSubstitute(
+            ReferenceOracle.decode(t.text, toks, tags),
+            if (t.role == null) "" else t.role)
+          val titles = ents.filter(_._1 == "TITLE").map(_._2)
+          val out =
+            if (titles.isEmpty && t.text != null &&
+              anaphorRe.matcher(t.text).find()) {
+              recent.find { case (ti, _) => t.turn_idx - ti <= 5 }
+                .map { case (_, title) =>
+                  (s"${t.conv_id}#${t.turn_idx}", "refers_to", title,
+                    t.conv_id, t.turn_idx) }
+                .toSeq
+            } else Seq.empty
+          titles.foreach(ti => recent = ((t.turn_idx, ti)) :: recent.take(5))
+          out
+        }
+      }
+    val corefDigest: Seq[(String, Long, Long, Long, Long)] = corefRows
+      .groupBy(_._2).toSeq.map { case (p, rows) =>
+        (p, rows.size.toLong,
+          rows.map(_._1).distinct.size.toLong,
+          rows.map(_._3).distinct.size.toLong,
+          rows.map(r => h8(Seq(r._1, r._2, r._3, r._4, r._5.toString)
+            .mkString(""))).sum)
+      }
+    val engCoref = graft.SparkEntry.queries("q_kg_coref_digest")(spark, "/unused")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    println(s"coref digest MATCH: ${corefDigest.sorted == engCoref.sorted}")
+    if (corefDigest.sorted != engCoref.sorted) {
+      println(s"  oracle: $corefDigest\n  engine: $engCoref")
+    }
+    require(corefDigest.sorted == engCoref.sorted,
+      "coref: engine != independent oracle — fix before minting")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/coref_digest.sql"),
+      corefDigest.sortBy(_._1).map { case (p, n, ns, nd, h) =>
+        s"(${sq(p)}, $n, $ns, $nd, $h)"
+      }.mkString(",\n  "))
+
+    // ---- simhash oracle (VERDICT r3 item 3): expected near-dup pairs
+    // over the pinned SparkEntry.simhashFixture, computed with a
+    // FROM-SCRATCH xxHash64 (the public XXH64 spec) + simhash — no Spark
+    // expression involved — and cross-checked signature-for-signature
+    // against the engine before minting.
+    def xxh64(bytes: Array[Byte], seed: Long): Long = {
+      val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+      val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+      val P5 = 0x27D4EB2F165667C5L
+      def rotl(x: Long, r: Int) = java.lang.Long.rotateLeft(x, r)
+      def round(acc: Long, in: Long) = rotl(acc + in * P2, 31) * P1
+      val len = bytes.length
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      var h =
+        if (len >= 32) {
+          var v1 = seed + P1 + P2; var v2 = seed + P2
+          var v3 = seed; var v4 = seed - P1
+          while (i + 32 <= len) {
+            v1 = round(v1, bb.getLong(i)); v2 = round(v2, bb.getLong(i + 8))
+            v3 = round(v3, bb.getLong(i + 16)); v4 = round(v4, bb.getLong(i + 24))
+            i += 32
+          }
+          var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+          for (v <- Seq(v1, v2, v3, v4)) { acc = (acc ^ round(0L, v)) * P1 + P4 }
+          acc
+        } else seed + P5
+      h += len
+      while (i + 8 <= len) {
+        h = rotl(h ^ round(0L, bb.getLong(i)), 27) * P1 + P4; i += 8
+      }
+      if (i + 4 <= len) {
+        h = rotl(h ^ ((bb.getInt(i) & 0xffffffffL) * P1), 23) * P2 + P3; i += 4
+      }
+      while (i < len) {
+        h = rotl(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1; i += 1
+      }
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+      h
+    }
+    def simhashOracle(text: String): Long = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        var votes = 0
+        toks.foreach { t2 =>
+          val h = xxh64(t2.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+          votes += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        }
+        if (votes > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    val fix = graft.SparkEntry.simhashFixture
+    val oracleSigs: Map[Long, Long] =
+      fix.map { case (id, txt) => id -> simhashOracle(txt) }.toMap
+    locally {
+      import spark.implicits._
+      val engineSigs = fix.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.operators.DocDedup.simhash(
+            org.apache.spark.sql.functions.col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"simhash sigs MATCH: ${oracleSigs == engineSigs}")
+      if (oracleSigs != engineSigs) {
+        println(s"  oracle: ${oracleSigs.toSeq.sorted}")
+        println(s"  engine: ${engineSigs.toSeq.sorted}")
+      }
+      require(oracleSigs == engineSigs,
+        "simhash: Spark xxhash64 path != from-scratch XXH64 oracle — fix before minting")
+    }
+    // expected pairs: pigeonhole candidates (shared 16-bit chunk) with
+    // hamming <= 3 — mirrors DocDedup.simhashPairs independently
+    val simPairs = (for {
+      (ia, sa) <- oracleSigs.toSeq
+      (ib, sb) <- oracleSigs.toSeq if ia < ib
+      if (0 until 4).exists(c => ((sa >>> (c * 16)) & 0xFFFFL) == ((sb >>> (c * 16)) & 0xFFFFL))
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+    } yield (ia, ib, ham)).sorted
+    println(s"simhash fixture pairs: $simPairs")
+    require(simPairs.nonEmpty && simPairs.exists(_._3 > 0),
+      "simhash fixture must yield exact AND near pairs — adjust fixture")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/simhash_pairs.sql"),
+      simPairs.map { case (a, b, h) => s"($a, $b, $h)" }.mkString(",\n  "))
+
     println("wrote /tmp/kg_pred_counts.sql, /tmp/kg_sample.sql, " +
       "/tmp/kg_mention_tags.sql, /tmp/predict_tag_counts.sql, " +
-      "/tmp/predict_sample.sql, /tmp/kg_nodes.sql, /tmp/kg_edges_digest.sql")
+      "/tmp/predict_sample.sql, /tmp/kg_nodes.sql, /tmp/kg_edges_digest.sql, " +
+      "/tmp/simhash_pairs.sql")
     spark.stop()
   }
 }
