@@ -447,18 +447,44 @@ object SparkEntry {
     }),
     "q_decode_subword" -> ((s, d) => {
       // subword-accurate decode gate (prod.py:52-117 over HF-style
-      // word_ids/offsets): multi-subtoken words, special tokens,
-      // word-end extension — the DecodeSpec fixture as a driver gate
+      // word_ids/offsets). d1 is the original DecodeSpec fixture; d2-d4
+      // are CPython goldens from tools/gen_subword_goldens.py replaying
+      // real HF shapes: 3+-piece words, [CLS]/[SEP] None-runs
+      // MID-sequence, adjacent same-tag distinct words (merge quirk),
+      // tag change between adjacent words, trailing open entity ending
+      // in a split word, and DECOY tags on non-first subtokens that the
+      // decoder must never read.
       import s.implicits._
-      val text = "Senbonzakura by Hatsune Miku"
-      val wordIds = Array(-1, 0, 0, 1, 2, 2, 3, 3, -1)
-      val starts = Array(0, 0, 6, 13, 16, 19, 24, 26, 0)
-      val ends = Array(0, 6, 12, 15, 19, 23, 26, 28, 0)
-      val tags = Array("O", "TITLE", "ALBUM", "O", "VOCALIST", "O",
-        "VOCALIST", "O", "O")
-      Decode.decodeSubword(text, wordIds, starts, ends, tags)
-        .map(e => ("d1", e.tag, e.text, e.start, e.end))
-        .toDF("doc", "tag", "entity", "start", "end")
+      val fixtures: Seq[(String, String, Array[Int], Array[Int],
+          Array[Int], Array[String])] = Seq(
+        ("d1", "Senbonzakura by Hatsune Miku",
+          Array(-1, 0, 0, 1, 2, 2, 3, 3, -1),
+          Array(0, 0, 6, 13, 16, 19, 24, 26, 0),
+          Array(0, 6, 12, 15, 19, 23, 26, 28, 0),
+          Array("O", "TITLE", "ALBUM", "O", "VOCALIST", "O",
+            "VOCALIST", "O", "O")),
+        ("d2", "Hoshimachi Suisei sings Stellar Stellar tonight",
+          Array(-1, 0, 0, 0, 1, 1, -1, 2, 3, 3, 4, 4, 5, -1),
+          Array(0, 0, 4, 7, 11, 14, 0, 18, 24, 28, 32, 36, 40, 0),
+          Array(0, 4, 7, 10, 14, 17, 0, 23, 28, 31, 36, 39, 47, 0),
+          Array("O", "VOCALIST", "DECOY", "DECOY", "VOCALIST", "DECOY",
+            "O", "O", "TITLE", "DECOY", "TITLE", "DECOY", "O", "O")),
+        ("d3", "Senbonzakura Gurenge by Yorushika",
+          Array(-1, 0, 0, 0, 1, 2, 3, 3, 3),
+          Array(0, 0, 3, 7, 13, 21, 24, 28, 30),
+          Array(0, 3, 7, 12, 20, 23, 28, 30, 33),
+          Array("O", "TITLE", "DECOY", "DECOY", "ALBUM", "O",
+            "VOCALIST", "DECOY", "DECOY")),
+        ("d4", "Melt Lemon covered by Ado",
+          Array(-1, 0, 1, -1, 2, 3, 4, -1),
+          Array(0, 0, 5, 0, 11, 19, 22, 0),
+          Array(0, 4, 10, 0, 18, 21, 25, 0),
+          Array("O", "TITLE", "TITLE", "O", "MODIFIER", "O",
+            "VOCALIST", "O")))
+      fixtures.flatMap { case (doc, text, wordIds, starts, ends, tags) =>
+        Decode.decodeSubword(text, wordIds, starts, ends, tags)
+          .map(e => (doc, e.tag, e.text, e.start, e.end))
+      }.toDF("doc", "tag", "entity", "start", "end")
     }),
     "q_connected_components" -> ((s, d) => {
       // G2 gate: a 6-node chain (diameter past naive small budgets),
@@ -995,9 +1021,19 @@ object SparkEntry {
   ('v2', 2, 'title', 0, 4, 'Miku', 'Senb'))
          AS t(yt_id, ner_idx, source, start, "end", expected, got)""",
     "q_decode_subword" ->
+      // d2-d4 expected rows generated by tools/gen_subword_goldens.py
+      // (CPython transcription of the reference decode loop)
       """SELECT * FROM (VALUES
   ('d1', 'TITLE', 'Senbonzakura', 0, 12),
-  ('d1', 'VOCALIST', 'Hatsune Miku', 16, 28))
+  ('d1', 'VOCALIST', 'Hatsune Miku', 16, 28),
+  ('d2', 'VOCALIST', 'Hoshimachi Suisei', 0, 17),
+  ('d2', 'TITLE', 'Stellar Stellar', 24, 39),
+  ('d3', 'TITLE', 'Senbonzakura', 0, 12),
+  ('d3', 'ALBUM', 'Gurenge', 13, 20),
+  ('d3', 'VOCALIST', 'Yorushika', 24, 33),
+  ('d4', 'TITLE', 'Melt Lemon', 0, 10),
+  ('d4', 'MODIFIER', 'covered', 11, 18),
+  ('d4', 'VOCALIST', 'Ado', 22, 25))
          AS t(doc, tag, entity, start, "end")""",
     "q_connected_components" ->
       """SELECT * FROM (VALUES
