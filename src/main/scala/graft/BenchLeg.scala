@@ -52,15 +52,28 @@ object BenchLeg {
             it.foreach { case (_, _, _, x) => chars += x.length }
             Iterator.single(chars)
           }.reduce(_ + _)
+      case "canon" =>
+        // the canonicalization WIDE stage (VERDICT r3 item 2): input is
+        // PRE-DECODED turns parquet; mentions+link are the narrow feed,
+        // then surfaceForms groupBy + blocked alias self-join + CC +
+        // canopy refinement — the pipeline's shuffle budget
+        val decoded = spark.read.parquet(turnsPath)
+          .as[Schemas.DecodedTurn](Encoders.product[Schemas.DecodedTurn])
+        val dict = spark.sparkContext.broadcast(
+          graft.operators.Linker.buildDict())
+        val linked = graft.operators.Linker.link(spark,
+          graft.operators.Decode.mentions(spark, decoded), dict).toDF()
+        graft.operators.Canonicalize.canonicalMap(spark, linked).count()
       case _ => Pipeline.extract(spark,
         spark.read.parquet(turnsPath).as[Schemas.Turn](
           Encoders.product[Schemas.Turn])).count()
     }
     // warm-ups (codegen/JIT — a fresh JVM needs two passes before timings
     // flatten), the first doubling as the determinism gate: every
-    // parallelism level must produce the identical triple count
-    if (jobKind == "full")
-      require(job() == expected, s"nondeterministic triple count at local[$n]")
+    // parallelism level must produce the identical triple (or canonical
+    // surface-form) count
+    if (jobKind == "full" || jobKind == "canon")
+      require(job() == expected, s"nondeterministic $jobKind count at local[$n]")
     else job()
     job()
     val times = (1 to nRuns).map { _ =>

@@ -40,30 +40,40 @@ class KgStagesSpec extends SparkSuite {
     assert(triples.head.pred == "refers_to" && triples.head.subj == "c1#1")
   }
 
-  test("connected components: min-label propagation, deterministic") {
+  test("connected components: min-label, deterministic; driver path == iterative") {
     import spark.implicits._
     val verts = Seq("a", "b", "c", "d", "e", "f").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
-    val cc = Canonicalize.connectedComponents(spark, verts, edges)
+    val expected = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f")
+    // hybrid default: small graph -> driver union-find
+    val ccDriver = Canonicalize.connectedComponents(spark, verts, edges)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a",
-      "d" -> "d", "e" -> "d", "f" -> "f"))
+    // driverMaxVertices = 0 forces the distributed iterative path
+    val ccIter = Canonicalize.connectedComponents(spark, verts, edges,
+      driverMaxVertices = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ccDriver == expected)
+    assert(ccIter == expected)
   }
 
   test("connected components: 60-node chain converges (shortcutting), short budget throws") {
     import spark.implicits._
     // a chain's diameter (59) exceeds the old 20-round propagation
     // budget, which returned WRONG components silently; pointer jumping
-    // converges in O(log n) rounds and non-convergence now throws
+    // converges in O(log n) rounds and non-convergence now throws.
+    // driverMaxVertices = 0: this test pins the DISTRIBUTED path.
     val n = 60
     val verts = (0 until n).map(i => f"v$i%03d").toDF("id")
     val edges = (0 until n - 1).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
       .toDF("src", "dst")
-    val comps = Canonicalize.connectedComponents(spark, verts, edges)
+    val comps = Canonicalize.connectedComponents(spark, verts, edges,
+      driverMaxVertices = 0L)
       .select("component").distinct().collect().map(_.getString(0)).toSeq
     assert(comps == Seq("v000"))
     assertThrows[IllegalStateException] {
-      Canonicalize.connectedComponents(spark, verts, edges, maxIter = 2)
+      Canonicalize.connectedComponents(spark, verts, edges, maxIter = 2,
+        driverMaxVertices = 0L)
     }
   }
 
