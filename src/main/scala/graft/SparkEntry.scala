@@ -366,6 +366,71 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.format").as("format"))
     }),
 
+    "q_image_decode" -> ((s, d) => {
+      // REAL image codec gate (JDK imageio): deterministic in-query PNG
+      // fixtures decoded by Multimodal.extractFeatures — format and
+      // dimensions from the real header reader, luminance mass from the
+      // real pixel decode (solid white = all mass in the top bucket,
+      // solid black = bottom). Row 3 is a non-image payload proving the
+      // deterministic stub fallback. n_bytes is excluded (PNG encoder
+      // output is JDK-version-specific); everything gated is exact.
+      import s.implicits._
+      def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = Seq(
+        (1L, png(40, 24, 0xFFFFFF)), (2L, png(8, 8, 0x000000)),
+        (3L, "text bytes, not an image".getBytes("UTF-8")))
+        .toDF("media_id", "payload")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(element_at(col("histogram"), 1), 6).as("lum_lo"),
+          round(element_at(col("histogram"), 16), 6).as("lum_hi"))
+    }),
+
+    "q_audio_decode" -> ((s, d) => {
+      // REAL audio codec gate (JDK sound API): a deterministic 16-bit
+      // mono PCM WAV synthesized in-query (first half silence, second
+      // half a ±20000 square wave), round-tripped through the WAV
+      // container and decoded by Multimodal.audioMeta/rmsEnergy. RMS per
+      // window is exact: 0 for silence, 20000/32768 for the square.
+      import s.implicits._
+      val n = 4000
+      val samples = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(samples)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        bb.putShort(i * 2,
+          if (i < n / 2) 0 else (if (i % 2 == 0) 20000 else -20000).toShort)
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wav = bos.toByteArray
+      val meta = Multimodal.audioMeta(wav).get
+      val rms = Multimodal.rmsEnergy(wav, windows = 8).get
+      rms.zipWithIndex.map { case (e, w) =>
+        (w, meta.sample_rate.toInt, meta.channels, meta.frames,
+          BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("window", "sample_rate", "channels", "frames", "rms")
+    }),
+
     // ---- hash-seeded near-dup — all value-gated (VERDICT r3 item 3)
     "q_minhash_pairs" -> ((s, d) =>
       // LSH-candidate + exact-verify pairs; because verification is the
@@ -879,6 +944,24 @@ object SparkEntry {
          CASE ascii(substr(text, 1, 1)) % 4 WHEN 0 THEN 'jpeg'
            WHEN 1 THEN 'png' WHEN 2 THEN 'webp' ELSE 'bin' END AS format
          FROM documents""",
+    "q_image_decode" ->
+      // real-codec expectations are exact: solid white/black PNGs decode
+      // to all luminance mass in the top/bottom bucket; the text payload
+      // takes the documented stub fallback (header-derived fake dims)
+      """SELECT id::BIGINT AS media_id, format, w AS width, h AS height,
+         lo::DOUBLE AS lum_lo, hi::DOUBLE AS lum_hi FROM (VALUES
+  (1, 'png', 40, 24, 0.0, 1.0),
+  (2, 'png', 8, 8, 1.0, 0.0),
+  (3, 'jpeg', 896, 656, 0.0, 0.0)) AS t(id, format, w, h, lo, hi)""",
+    "q_audio_decode" ->
+      // exact by construction: RMS of silence is 0, of a ±20000 square
+      // wave is 20000/32768 = 0.610352 (rounded 6); the WAV container
+      // round-trip preserves the PCM bytes bit-for-bit
+      """SELECT w AS window, 8000 AS sample_rate, 1 AS channels,
+         4000::BIGINT AS frames, r::DOUBLE AS rms FROM (VALUES
+  (0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0),
+  (4, 0.610352), (5, 0.610352), (6, 0.610352), (7, 0.610352))
+         AS t(w, r)""",
     // near-dup gates (VERDICT r3 item 3): the LSH/minhash candidate
     // paths are gated against EXACT all-pairs oracles — recall and
     // verification both in the hash

@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /**
  * Multimodal column plumbing: image/audio/video travel as opaque `binary`
  * columns with typed metadata structs. The Spark-side machinery — schema,
- * batched per-partition processing, partition sizing — is real and tested;
- * the actual codec step is STUBBED (no image/audio libraries in this
- * container) behind [[decodeImageStub]], a deterministic fake that a real
- * deployment swaps for JavaCV/TwelveMonkeys or a Python `mapInPandas`
- * stage without touching any surrounding plumbing.
+ * batched per-partition processing, partition sizing — is real and tested.
+ *
+ * Codecs (round 4): IMAGE decode/resize/feature-extract and AUDIO (WAV/
+ * AIFF/AU) decode/feature-extract are REAL, via the JDK's own
+ * `javax.imageio` (png/jpeg/gif/bmp/tiff readers ship with Java 17) and
+ * `javax.sound.sampled` — no external libraries. Payloads that no JDK
+ * reader recognizes (e.g. webp, or the synthetic text blobs the
+ * q_multimodal_meta gate uses) fall back to [[decodeImageStub]], the
+ * deterministic fake that keeps the plumbing exercised; VIDEO remains
+ * frame-sampling plumbing only (no container demuxer in the JDK — swap
+ * in JavaCV or a Python `mapInPandas` stage for real codecs).
  *
  * Scale notes: binary payloads dominate partition size, so callers should
  * size `spark.sql.files.maxPartitionBytes` to the media, not the metadata;
@@ -23,11 +29,14 @@ object Multimodal {
       n_bytes: Long)
   final case class MediaFeature(media_id: Long, meta: MediaMeta,
       histogram: Array[Double])
+  final case class AudioMeta(encoding: String, sample_rate: Float,
+      channels: Int, frames: Long, n_bytes: Long)
 
   /**
-   * STUB decoder ??? replacement: a real implementation would decode the
-   * image here. This fake derives (format, width, height) deterministically
-   * from the payload header bytes so tests exercise real plumbing.
+   * STUB decoder: the deterministic fallback for payloads no JDK image
+   * reader recognizes — derives (format, width, height) from the payload
+   * header bytes so non-image rows still flow through the real plumbing
+   * deterministically instead of erroring.
    */
   def decodeImageStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.isEmpty) return MediaMeta("empty", 0, 0, 0L)
@@ -39,6 +48,118 @@ object Multimodal {
     }
     MediaMeta(fmt, w, h, bytes.length.toLong)
   }
+
+  /** REAL image metadata via javax.imageio, HEADER-ONLY: the matched
+    * reader reports format and dimensions without decoding pixel data
+    * (the parquet-footer trick, applied to images). None if no JDK
+    * reader recognizes the payload. */
+  def imageMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        Some(MediaMeta(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+          r.getWidth(0), r.getHeight(0), bytes.length.toLong))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** REAL pixel decode (full raster). None if unrecognized/corrupt. */
+  def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Normalized luminance histogram over the REAL decoded pixels (the
+    * image-side feature; bucket = Rec.601 luma / (256/buckets)). */
+  def luminanceHistogram(img: java.awt.image.BufferedImage,
+      buckets: Int = 16): Array[Double] = {
+    val hist = new Array[Double](buckets)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum * buckets / 256) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    if (n > 0) { var i = 0; while (i < buckets) { hist(i) /= n; i += 1 } }
+    hist
+  }
+
+  /** REAL resize: decode, scale with bilinear interpolation, re-encode
+    * as PNG. None if the payload is not a decodable image. */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    decodePixels(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** REAL audio metadata + per-window RMS-energy feature for the formats
+    * the JDK decodes (WAV/AIFF/AU PCM). None if unrecognized. */
+  def audioMeta(bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val f = in.getFormat
+        Some(AudioMeta(f.getEncoding.toString, f.getSampleRate,
+          f.getChannels, in.getFrameLength, bytes.length.toLong))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** RMS energy per fixed-size sample window over the decoded 16-bit PCM
+    * stream — the audio-side feature (None for non-audio payloads). */
+  def rmsEnergy(bytes: Array[Byte], windows: Int = 16): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) return None
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSamples = raw.length / 2
+        if (nSamples == 0) return Some(new Array[Double](windows))
+        val out = new Array[Double](windows)
+        val counts = new Array[Long](windows)
+        var i = 0
+        while (i < nSamples) {
+          val s = bb.getShort(i * 2) / 32768.0
+          val w = math.min(windows - 1, (i.toLong * windows / nSamples).toInt)
+          out(w) += s * s; counts(w) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < windows) {
+          out(w) = if (counts(w) == 0) 0.0 else math.sqrt(out(w) / counts(w))
+          w += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** 16-bucket byte histogram (the stand-in "feature extraction"; a real
     * pipeline would emit an embedding). Pure, allocation-light. */
@@ -54,7 +175,11 @@ object Multimodal {
   }
 
   /** media(media_id bigint, payload binary) -> features. Batched
-    * mapPartitions: decoder state initialized once per partition. */
+    * mapPartitions: decoder state initialized once per partition. Real
+    * images (any JDK-readable format) get real header metadata + a
+    * pixel-luminance histogram; everything else flows through the
+    * deterministic stub + byte histogram (so mixed/mostly-synthetic
+    * corpora never error). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
@@ -62,7 +187,14 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (codec contexts, models)
         it.map { case (id, payload) =>
-          MediaFeature(id, decodeImageStub(payload), byteHistogram(payload))
+          imageMeta(payload) match {
+            case Some(meta) =>
+              val hist = decodePixels(payload).map(luminanceHistogram(_))
+                .getOrElse(byteHistogram(payload))
+              MediaFeature(id, meta, hist)
+            case None =>
+              MediaFeature(id, decodeImageStub(payload), byteHistogram(payload))
+          }
         }
       }
   }
