@@ -112,6 +112,20 @@ object SparkEntry {
       "dance arrangements every single week"),
     (6L, "completely unrelated short text about parquet column statistics"))
 
+  /** Pinned fixture turns for the q_kg_mentions_digest gate: the
+    * synthetic corpus never quotes UNKNOWN titles, so the regex mention
+    * source would be vacuously absent from the gate without these.
+    * Shared with KgOracleDump's independent transcription. */
+  val mentionFixtureTurns: Seq[graft.Schemas.Turn] = {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq(
+      graft.Schemas.Turn("zfix0000", 0, "user",
+        "check \"Totally New Song\" tonight, it slaps", null, ts),
+      graft.Schemas.Turn("zfix0000", 1, "assistant",
+        "also \"Senbonzakura\" of course, and \"Chrome Tears Cascade\"",
+        null, ts))
+  }
+
   /** Flagship: full KG extraction on synthesized transcripts. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.extract(spark, TranscriptGen.generate(spark, 200L)).toDF()
@@ -581,11 +595,34 @@ object SparkEntry {
     // All five share the generate→detect→decode prefix via
     // [[decodedPrefix]], so each measures its OWN stage.
     "q_kg_mentions" -> ((s, d) => {
+      // sf-scale stage timing (rows-only); the VALUE gate for this stage
+      // is q_kg_mentions_digest below
       val turns = TranscriptGen.generate(s, TranscriptGen.convsForSfDir(d))
       // gazetteer ∪ regex sources; gazetteer side reuses the decoded prefix
       Pipeline.mentionsFromDecoded(s,
         decodedPrefix(s, TranscriptGen.convsForSfDir(d)), turns).toDF()
     }),
+    "q_kg_mentions_digest" -> ((s, d) =>
+      // mention-source UNION gate (gazetteer ∪ regex, span-deduped) at
+      // the pinned 300-conv corpus PLUS [[mentionFixtureTurns]] (quoted
+      // unknown spans — the corpus itself never quotes unknown titles,
+      // so the regex source would otherwise be vacuously absent): per
+      // (tag, detector) counts + md5 hashsum over the full mention row;
+      // expected values minted by KgOracleDump's independent
+      // transcription (own quoted-span regex + gazetteer surface set,
+      // no Aho-Corasick involved)
+      Pipeline.mentionsAll(s,
+        TranscriptGen.generate(s, 300L).unionByName(
+          s.createDataset(mentionFixtureTurns)(
+            org.apache.spark.sql.Encoders.product[graft.Schemas.Turn])))
+        .toDF()
+        .select(col("tag"), col("detector"),
+          conv(substring(md5(concat_ws("\u0001", col("conv_id"),
+            col("turn_idx").cast("string"), col("tag"), col("text"),
+            col("start").cast("string"), col("end").cast("string"))),
+            1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("tag", "detector")
+        .agg(count(lit(1)).as("n"), sum("h").as("hashsum"))),
     "q_kg_triples" -> ((s, d) =>
       // triple emission over the shared decoded prefix — equivalent to the
       // fused Pipeline.extract (DecodeSpec pins staged == fused); the fused
@@ -988,6 +1025,22 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE round(c::double / (sa.n + sb.n - c), 6) >= 0.5""",
+    "q_kg_mentions_digest" ->
+      // minted by KgOracleDump's independent mention-union transcription
+      // (own quoted-span regex + gazetteer surface set; 300-conv corpus
+      // + the pinned fixture turns that exercise the regex source)
+      """SELECT tag, detector, n::BIGINT AS n, h::BIGINT AS hashsum
+         FROM (VALUES
+  ('ALBUM', 'gazetteer:ac', 579, 1289481263807),
+  ('ALT_TITLE', 'gazetteer:ac', 287, 608001000748),
+  ('ALT_TITLE', 'regex:quoted', 2, 4282725365),
+  ('FEATURING', 'gazetteer:ac', 302, 663115259026),
+  ('MISC_PERSON', 'gazetteer:ac', 284, 599234932704),
+  ('MODIFIER', 'gazetteer:ac', 861, 1818676649955),
+  ('ORIGINAL_AUTHOR', 'gazetteer:ac', 1993, 4307431750804),
+  ('TITLE', 'gazetteer:ac', 2485, 5260788597104),
+  ('VOCALIST', 'gazetteer:ac', 285, 621860380246),
+  ('VOCALOID', 'gazetteer:ac', 287, 618874018990)) AS t(tag, detector, n, h)""",
     "q_kg_linked_digest" ->
       // minted by KgOracleDump's independent scoring-ladder transcription
       // (300-conv pinned corpus). No 0.7 tier on this corpus: gazetteer

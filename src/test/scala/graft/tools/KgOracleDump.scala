@@ -383,6 +383,72 @@ object KgOracleDump {
         s"(${sq(p)}, $n, $ns, $nd, $h)"
       }.mkString(",\n  "))
 
+    // ---- mention-source UNION oracle: gazetteer mentions from the
+    // independent decode transcription ∪ quoted-span regex mentions from
+    // an OWN regex + the raw gazetteer surface set (no Aho-Corasick),
+    // span-deduped like Pipeline.mentionsFromDecoded; digested per
+    // (tag, detector).
+    val mentionDigest: Seq[(String, String, Long, Long)] = {
+      val quoted = java.util.regex.Pattern.compile(
+        "[\"“]([^\"“”]{2,64})[\"”]")
+      val gazLower: Set[String] = graft.Gazetteer.entries
+        .map(_.surface.toLowerCase(java.util.Locale.ROOT)).toSet
+      val unionTurns = (0L until nCanon)
+        .flatMap(c => TranscriptGen.turnsOfConv(42L, c, 8)) ++
+        graft.SparkEntry.mentionFixtureTurns
+      val rows = unionTurns.flatMap { t =>
+        {
+          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+          val gaz = ReferenceOracle.meSubstitute(
+            ReferenceOracle.decode(t.text, toks, tags),
+            if (t.role == null) "" else t.role)
+            .map { case (tag, txt, st, en) =>
+              (t.conv_id, t.turn_idx, tag, txt, st, en, "gazetteer:ac") }
+          val rex = {
+            val m = quoted.matcher(t.text)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Int, String, String, Int, Int, String)]
+            while (m.find()) {
+              val inner = m.group(1).trim
+              if (inner.nonEmpty &&
+                !gazLower.contains(inner.toLowerCase(java.util.Locale.ROOT)))
+                out += ((t.conv_id, t.turn_idx, "ALT_TITLE", inner,
+                  m.start(1), m.end(1), "regex:quoted"))
+            }
+            out.toSeq
+          }
+          // span dedup on (conv, turn, start, end, tag), gazetteer first
+          val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
+          (gaz ++ rex).filter { r =>
+            seen.add((r._5, r._6, r._3))
+          }
+        }
+      }
+      rows.groupBy(r => (r._3, r._7)).toSeq.map { case ((tag, det), rs) =>
+        (tag, det, rs.size.toLong,
+          rs.map(r => h8(Seq(r._1, r._2.toString, r._3, r._4,
+            r._5.toString, r._6.toString).mkString(""))).sum)
+      }
+    }
+    val engMentions = graft.SparkEntry.queries("q_kg_mentions_digest")(spark, "/unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    println(s"mentions-union digest MATCH: " +
+      s"${mentionDigest.sorted == engMentions.sorted}")
+    if (mentionDigest.sorted != engMentions.sorted) {
+      println(s"  oracle: ${mentionDigest.sorted}\n  engine: ${engMentions.sorted}")
+    }
+    require(mentionDigest.sorted == engMentions.sorted,
+      "mentions union: engine != independent oracle — fix before minting")
+    require(mentionDigest.exists(_._2 == "regex:quoted"),
+      "fixture corpus must exercise the regex mention source")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/mentions_digest.sql"),
+      mentionDigest.sorted.map { case (tag, det, n, h) =>
+        s"(${sq(tag)}, ${sq(det)}, $n, $h)"
+      }.mkString(",\n  "))
+
     // ---- linking oracle: independent transcription of the scoring
     // ladder (exact gazetteer / speaker / normalized / surface-form
     // fallback — Linker.linkOne semantics). Gazetteer tables are shared
