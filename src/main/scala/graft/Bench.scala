@@ -208,12 +208,17 @@ object Bench {
     // excluded; both parallelism levels read the identical parquet)
     val benchRoot = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val turnsPath = benchRoot + "/turns"
-    TranscriptGen.generate(spark, benchConvs)
-      .repartition(cpus * 4) // enough splits for either parallelism level
-      .write.mode("overwrite").parquet(turnsPath)
-    val nTriples = Pipeline.extract(spark,
-      spark.read.parquet(turnsPath).as[Schemas.Turn](
-        org.apache.spark.sql.Encoders.product[Schemas.Turn])).count()
+    // skipped for canon-only iteration runs (the mirror of needCanon below)
+    val needExtract = sys.env.get("SPARK_GRAFT_BENCH_LEGS").isEmpty ||
+      !sys.env.get("SPARK_GRAFT_BENCH_JOBKIND").contains("canon")
+    val nTriples: Long = if (!needExtract) 0L else {
+      TranscriptGen.generate(spark, benchConvs)
+        .repartition(cpus * 4) // enough splits for either parallelism level
+        .write.mode("overwrite").parquet(turnsPath)
+      Pipeline.extract(spark,
+        spark.read.parquet(turnsPath).as[Schemas.Turn](
+          org.apache.spark.sql.Encoders.product[Schemas.Turn])).count()
+    }
     // canon-stage input (VERDICT r3 item 2): PRE-DECODED turns, so the
     // canon legs time mentions->link->canonicalMap (the wide graph
     // stage), not the extraction the headline legs already cover. The
@@ -223,13 +228,19 @@ object Bench {
     // sized so the leg's variable work (mention scan + surface-form
     // shuffle) dominates the corpus-INDEPENDENT small-graph tail
     // (candidate join + CC over the ~1k distinct forms, ~2s at 1 core)
+    // Materialized ONLY when a canon leg will actually run (full driver
+    // runs, or legs-only iteration with JOBKIND=canon) — extraction
+    // iteration cycles must not pay a 1.2M-conv decode for an unused
+    // input.
     val canonConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANON_CONVS",
       "1200000").toLong
     val decodedPath = benchRoot + "/decoded"
-    Pipeline.decodeTurns(spark, TranscriptGen.generate(spark, canonConvs))
-      .repartition(cpus * 4)
-      .write.mode("overwrite").parquet(decodedPath)
-    val nForms = {
+    val needCanon = sys.env.get("SPARK_GRAFT_BENCH_LEGS").isEmpty ||
+      sys.env.get("SPARK_GRAFT_BENCH_JOBKIND").contains("canon")
+    val nForms: Long = if (!needCanon) 0L else {
+      Pipeline.decodeTurns(spark, TranscriptGen.generate(spark, canonConvs))
+        .repartition(cpus * 4)
+        .write.mode("overwrite").parquet(decodedPath)
       val dict = spark.sparkContext.broadcast(
         graft.operators.Linker.buildDict())
       val decoded = spark.read.parquet(decodedPath)

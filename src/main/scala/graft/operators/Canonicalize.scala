@@ -71,24 +71,30 @@ object Canonicalize {
     va.iterator.map { case (c, x) => x * vb.getOrElse(c, 0.0) }.sum
   }
 
-  /** Plain-JVM Levenshtein (for the row-local refinement pass; the
-    * candidate-edge join uses Spark's codegen'd levenshtein()). */
+  /** Plain-JVM Levenshtein over CODE POINTS (for the row-local
+    * refinement pass) — Spark's levenshtein() in the candidate-edge join
+    * also counts code points, so an astral char (one codepoint, two
+    * UTF-16 units) costs ONE edit on both stages, and the refinement cap
+    * can never be stricter than the candidate criterion by a unit
+    * artifact. */
   private[operators] def jvmLev(a: String, b: String): Int = {
-    val dp = Array.tabulate(b.length + 1)(identity)
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val dp = Array.tabulate(cb.length + 1)(identity)
     var i = 1
-    while (i <= a.length) {
+    while (i <= ca.length) {
       var prevDiag = dp(0); dp(0) = i
       var j = 1
-      while (j <= b.length) {
+      while (j <= cb.length) {
         val t = dp(j)
         dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
-          prevDiag + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prevDiag + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
         prevDiag = t
         j += 1
       }
       i += 1
     }
-    dp(b.length)
+    dp(cb.length)
   }
 
   /** The TIGHT member-vs-leader criterion for canopy refinement (G3).

@@ -49,14 +49,22 @@ object Multimodal {
     MediaMeta(fmt, w, h, bytes.length.toLong)
   }
 
+  /** Memory-backed image input: ImageIO's default
+    * `createImageInputStream(InputStream)` uses a DISK cache — it spills
+    * every payload to a java.io.tmpdir file and deletes it afterwards,
+    * which on the per-row hot path means two temp-file round-trips per
+    * image for data that is already fully in memory. */
+  private def memStream(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
   /** REAL image metadata via javax.imageio, HEADER-ONLY: the matched
     * reader reports format and dimensions without decoding pixel data
     * (the parquet-footer trick, applied to images). None if no JDK
     * reader recognizes the payload. */
   def imageMeta(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null || bytes.isEmpty) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val iis = memStream(bytes)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
@@ -71,9 +79,20 @@ object Multimodal {
   }
 
   /** REAL pixel decode (full raster). None if unrecognized/corrupt. */
-  def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+  def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = memStream(bytes)
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        Option(r.read(0))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
 
   /** Normalized luminance histogram over the REAL decoded pixels (the
     * image-side feature; bucket = Rec.601 luma / (256/buckets)). */
@@ -111,7 +130,10 @@ object Multimodal {
         g.drawImage(img, 0, 0, width, height, null)
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
+      // memory-backed output for the same reason as [[memStream]]
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(out, "png", ios)
+      finally ios.close()
       bos.toByteArray
     }
 

@@ -202,17 +202,21 @@ object KgOracleDump {
         ch -> (math.log((1.0 + nForms) / (1.0 + xs.size)) + 1.0) }
 
     def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(b.length + 1)(identity)
-      for (i <- 1 to a.length) {
+      // code points, matching Spark's levenshtein() and the engine's
+      // refinement jvmLev (UTF-16 units would over-count astral chars)
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      val dp = Array.tabulate(cb.length + 1)(identity)
+      for (i <- 1 to ca.length) {
         var prevDiag = dp(0); dp(0) = i
-        for (j <- 1 to b.length) {
+        for (j <- 1 to cb.length) {
           val t = dp(j)
           dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
-            prevDiag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prevDiag + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
           prevDiag = t
         }
       }
-      dp(b.length)
+      dp(cb.length)
     }
     def tfidfCos(a: String, b: String): Double = {
       def vec(s: String): Map[Char, Double] = {
@@ -428,7 +432,7 @@ object KgOracleDump {
       rows.groupBy(r => (r._3, r._7)).toSeq.map { case ((tag, det), rs) =>
         (tag, det, rs.size.toLong,
           rs.map(r => h8(Seq(r._1, r._2.toString, r._3, r._4,
-            r._5.toString, r._6.toString).mkString(""))).sum)
+            r._5.toString, r._6.toString).mkString("\u0001"))).sum)
       }
     }
     val engMentions = graft.SparkEntry.queries("q_kg_mentions_digest")(spark, "/unused")
@@ -491,7 +495,7 @@ object KgOracleDump {
         (score, rows.size.toLong,
           rows.map(_._5).distinct.size.toLong,
           rows.map(r => h8(Seq(r._1, r._2.toString, r._3, r._4, r._5)
-            .mkString(""))).sum)
+            .mkString("\u0001"))).sum)
       }
     val engLinked = graft.SparkEntry.queries("q_kg_linked_digest")(spark, "/unused")
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
@@ -544,7 +548,7 @@ object KgOracleDump {
           rows.map(_._1).distinct.size.toLong,
           rows.map(_._3).distinct.size.toLong,
           rows.map(r => h8(Seq(r._1, r._2, r._3, r._4, r._5.toString)
-            .mkString(""))).sum)
+            .mkString("\u0001"))).sum)
       }
     val engCoref = graft.SparkEntry.queries("q_kg_coref_digest")(spark, "/unused")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
