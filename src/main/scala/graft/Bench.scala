@@ -209,8 +209,10 @@ object Bench {
     val benchRoot = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val turnsPath = benchRoot + "/turns"
     // skipped for canon-only iteration runs (the mirror of needCanon below)
+    val iterKindEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_JOBKIND", "full")
+    val wideKinds = Set("canon", "coref")
     val needExtract = sys.env.get("SPARK_GRAFT_BENCH_LEGS").isEmpty ||
-      !sys.env.get("SPARK_GRAFT_BENCH_JOBKIND").contains("canon")
+      !wideKinds.contains(iterKindEnv)
     val nTriples: Long = if (!needExtract) 0L else {
       TranscriptGen.generate(spark, benchConvs)
         .repartition(cpus * 4) // enough splits for either parallelism level
@@ -235,9 +237,15 @@ object Bench {
     val canonConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANON_CONVS",
       "1200000").toLong
     val decodedPath = benchRoot + "/decoded"
-    val needCanon = sys.env.get("SPARK_GRAFT_BENCH_LEGS").isEmpty ||
-      sys.env.get("SPARK_GRAFT_BENCH_JOBKIND").contains("canon")
-    val nForms: Long = if (!needCanon) 0L else {
+    val needDecoded = sys.env.get("SPARK_GRAFT_BENCH_LEGS").isEmpty ||
+      wideKinds.contains(iterKindEnv)
+    // the wide-stage job run by the decoded-parquet legs: always "canon"
+    // in the full driver protocol; iteration may pick "coref" (the other
+    // wide stage) via the JOBKIND knob
+    val wideKind =
+      if (sys.env.get("SPARK_GRAFT_BENCH_LEGS").isDefined &&
+        iterKindEnv == "coref") "coref" else "canon"
+    val nForms: Long = if (!needDecoded) 0L else {
       Pipeline.decodeTurns(spark, TranscriptGen.generate(spark, canonConvs))
         .repartition(cpus * 4)
         .write.mode("overwrite").parquet(decodedPath)
@@ -248,7 +256,11 @@ object Bench {
           org.apache.spark.sql.Encoders.product[Schemas.DecodedTurn])
       val linked = graft.operators.Linker.link(spark,
         graft.operators.Decode.mentions(spark, decoded), dict).toDF()
-      graft.operators.Canonicalize.canonicalMap(spark, linked).count()
+      if (wideKind == "coref")
+        graft.operators.SkewSalting.corefSalted(spark, decoded,
+          window = 5, chunkSize = 10000).count()
+      else
+        graft.operators.Canonicalize.canonicalMap(spark, linked).count()
     }
     spark.stop()
 
@@ -292,7 +304,7 @@ object Bench {
     def canonLeg(n: Int, runsOverride: Int = -1): Unit = {
       val (best, times) = runLeg(n, decodedPath, nForms,
         runs = if (runsOverride > 0) runsOverride else 5,
-        jobKind = "canon")
+        jobKind = wideKind)
       canonLegs.get(n) match {
         case Some((b0, t0)) => canonLegs(n) = (math.min(b0, best), t0 ++ times)
         case None => canonLegs(n) = (best, times)
@@ -312,10 +324,10 @@ object Bench {
         // iteration knob honors SPARK_GRAFT_BENCH_JOBKIND: "canon" runs
         // the wide-stage legs over the decoded parquet, anything else
         // the extraction legs over the turns parquet
-        val iterKind = sys.env.getOrElse("SPARK_GRAFT_BENCH_JOBKIND", "full")
+        val iterKind = iterKindEnv
         val ls = spec.split(",").map(_.trim.toInt).toSeq
         val iterSec: Int => Double =
-          if (iterKind == "canon") { ls.foreach(n => canonLeg(n)); canonSec }
+          if (wideKinds.contains(iterKind)) { ls.foreach(n => canonLeg(n)); canonSec }
           else {
             ls.foreach(n => legs(n) = runLeg(n, turnsPath, nTriples,
               runs = if (n <= 2) 9 else if (n <= 8) 6 else 10,

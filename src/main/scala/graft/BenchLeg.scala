@@ -64,6 +64,14 @@ object BenchLeg {
         val linked = graft.operators.Linker.link(spark,
           graft.operators.Decode.mentions(spark, decoded), dict).toDF()
         graft.operators.Canonicalize.canonicalMap(spark, linked).count()
+      case "coref" =>
+        // the OTHER wide stage: skew-salted window coreference — hot-conv
+        // pre-pass + salt + repartition(conv_id, chunk) + ordered
+        // per-conversation state machine (same decoded parquet input)
+        val decoded = spark.read.parquet(turnsPath)
+          .as[Schemas.DecodedTurn](Encoders.product[Schemas.DecodedTurn])
+        graft.operators.SkewSalting.corefSalted(spark, decoded,
+          window = 5, chunkSize = 10000).count()
       case _ => Pipeline.extract(spark,
         spark.read.parquet(turnsPath).as[Schemas.Turn](
           Encoders.product[Schemas.Turn])).count()

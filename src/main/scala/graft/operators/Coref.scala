@@ -34,26 +34,37 @@ object Coref {
   def resolve(spark: SparkSession, decoded: Dataset[DecodedTurn],
       window: Int = 5): Dataset[CorefLink] = {
     import spark.implicits._
+    // prune BEFORE the exchange: the anaphor regex runs on the narrow
+    // side and only (conv_id, turn_idx, anaphor?, titles) is shuffled —
+    // text/role/tool/non-TITLE entities never cross the wire (the same
+    // boundary-pruning lesson as the fused extraction path; the salted
+    // variant in SkewSalting.corefSalted does the same)
     decoded
+      .map { d =>
+        val titles = d.entities.collect { case e if e.tag == "TITLE" => e.text }
+        (d.conv_id, d.turn_idx,
+          titles.isEmpty && d.text != null && anaphor.matcher(d.text).find(),
+          titles)
+      }
+      .toDF("conv_id", "turn_idx", "anaphor", "titles")
       .repartition(col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .as[(String, Int, Boolean, Seq[String])]
       .mapPartitions { it =>
         var conv: String = null
         // ring of (turn_idx, title) seen in the current conversation
         var recent = List.empty[(Int, String)]
-        it.flatMap { d =>
-          if (d.conv_id != conv) { conv = d.conv_id; recent = Nil }
-          val titlesHere = d.entities.filter(_.tag == "TITLE")
+        it.flatMap { case (convId, turnIdx, ana, titles) =>
+          if (convId != conv) { conv = convId; recent = Nil }
           val out =
-            if (titlesHere.isEmpty && d.text != null &&
-              anaphor.matcher(d.text).find()) {
-              recent.find { case (ti, _) => d.turn_idx - ti <= window }
-                .map { case (ti, t) => CorefLink(d.conv_id, d.turn_idx, t, ti) }
+            if (ana) {
+              recent.find { case (ti, _) => turnIdx - ti <= window }
+                .map { case (ti, t) => CorefLink(convId, turnIdx, t, ti) }
                 .toSeq
             } else Seq.empty
           // update state AFTER resolving (a turn can't be its own antecedent)
-          titlesHere.foreach { e =>
-            recent = ((d.turn_idx, e.text)) :: recent.take(window)
+          titles.foreach { t =>
+            recent = ((turnIdx, t)) :: recent.take(window)
           }
           out
         }

@@ -74,36 +74,71 @@ object SkewSalting {
     }
   }
 
+  /** The PRUNED record the salted coref shuffle carries: coref reads
+    * only the titles and whether the turn is an anaphoric reference, so
+    * the anaphor regex is evaluated on the NARROW side and `text`,
+    * `role`, `tool` and non-TITLE entities never cross the exchange —
+    * the shuffle ships a boolean and a (usually empty) title list per
+    * turn instead of the full nested DecodedTurn (~10x payload cut; the
+    * regex work also lands in the embarrassingly-parallel stage). */
+  final case class CorefRow(conv_id: String, chunk: Int, is_ctx: Boolean,
+      turn_idx: Int, anaphor: Boolean, titles: Seq[String])
+
+  private val anaphorPat = java.util.regex.Pattern.compile(
+    "(?i)\\b(it|that (song|track|tune))\\b")
+
   /** Coref over salted chunks: same semantics as [[Coref.resolve]] but the
     * wide stage keys on (conv_id, chunk) — hot conversations fan out over
     * `size/chunkSize` tasks instead of one. */
   def corefSalted(spark: SparkSession, decoded: Dataset[DecodedTurn],
-      window: Int = 5, chunkSize: Int = 1000): Dataset[Coref.CorefLink] = {
+      window: Int = 5, chunkSize: Int = 1000,
+      maxHotConvs: Int = 100000): Dataset[Coref.CorefLink] = {
     import spark.implicits._
-    salt(spark, decoded, chunkSize, overlap = window)
+    require(window <= chunkSize, "overlap must fit in a chunk")
+    val hotRows = decoded.groupBy("conv_id").count()
+      .where(col("count") > chunkSize)
+      .take(maxHotConvs + 1)
+    if (hotRows.length > maxHotConvs)
+      throw new IllegalStateException(
+        s"corefSalted: more than $maxHotConvs conversations exceed " +
+          s"chunkSize=$chunkSize — see SkewSalting.salt's guard rationale.")
+    val hotSizes: Map[String, Long] =
+      hotRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotB = spark.sparkContext.broadcast(hotSizes)
+    decoded.flatMap { d =>
+      val titles = d.entities.collect { case e if e.tag == "TITLE" => e.text }
+      val ana = titles.isEmpty && d.text != null &&
+        anaphorPat.matcher(d.text).find()
+      def row(chunk: Int, isCtx: Boolean) =
+        CorefRow(d.conv_id, chunk, isCtx, d.turn_idx, ana, titles)
+      if (!hotB.value.contains(d.conv_id)) Seq(row(0, isCtx = false))
+      else {
+        val own = d.turn_idx / chunkSize
+        val base = Seq(row(own, isCtx = false))
+        val nextStart = (own + 1) * chunkSize
+        if (d.turn_idx >= nextStart - window && nextStart < hotB.value(d.conv_id))
+          base :+ row(own + 1, isCtx = true)
+        else base
+      }
+    }
       .repartition(col("conv_id"), col("chunk"))
-      .sortWithinPartitions(col("conv_id"), col("chunk"), col("turn.turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("chunk"), col("turn_idx"))
       .mapPartitions { it =>
         var key: (String, Int) = null
         var recent = List.empty[(Int, String)]
-        val anaphor = java.util.regex.Pattern.compile(
-          "(?i)\\b(it|that (song|track|tune))\\b")
         it.flatMap { st =>
-          val d = st.turn
           if ((st.conv_id, st.chunk) != key) {
             key = (st.conv_id, st.chunk); recent = Nil
           }
-          val titlesHere = d.entities.filter(_.tag == "TITLE")
           val out =
-            if (!st.is_ctx && titlesHere.isEmpty && d.text != null &&
-              anaphor.matcher(d.text).find()) {
-              recent.find { case (ti, _) => d.turn_idx - ti <= window }
+            if (!st.is_ctx && st.anaphor) {
+              recent.find { case (ti, _) => st.turn_idx - ti <= window }
                 .map { case (ti, t) =>
-                  Coref.CorefLink(d.conv_id, d.turn_idx, t, ti) }
+                  Coref.CorefLink(st.conv_id, st.turn_idx, t, ti) }
                 .toSeq
             } else Seq.empty
-          titlesHere.foreach { e =>
-            recent = ((d.turn_idx, e.text)) :: recent.take(window)
+          st.titles.foreach { t =>
+            recent = ((st.turn_idx, t)) :: recent.take(window)
           }
           out
         }
