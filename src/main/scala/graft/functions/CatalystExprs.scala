@@ -25,20 +25,30 @@ object PyTextStatics {
     else UTF8String.fromString(PyText.fixMojibake(s.toString))
   def normalizeAscii(s: UTF8String): UTF8String = {
     if (s == null) return null
-    // dormant reference capability (src/data/preprocess.py:13-17): NFKD
-    // fold + strip combining marks (the unidecode step approximated by
-    // the NFKD compatibility decomposition)
+    // dormant reference capability (src/data/preprocess.py:13-17), the
+    // unidecode step re-expressed with public building blocks:
+    //  1. NFKD compatibility decomposition (fullwidth -> ASCII, accents
+    //     split off);
+    //  2. strip combining marks EXCEPT the kana voicing marks U+3099/
+    //     U+309A (dropping those would silently devoice が -> か);
+    //  3. NFC re-compose so voiced kana arrive precomposed;
+    //  4. table-driven transliteration of Greek / Cyrillic / Kana
+    //     ([[Translit]]; Han ideographs pass through — their readings
+    //     tables are out of scope, documented divergence).
     val nfkd = java.text.Normalizer.normalize(s.toString,
       java.text.Normalizer.Form.NFKD)
     val sb = new java.lang.StringBuilder(nfkd.length)
     var i = 0
     while (i < nfkd.length) {
       val cp = nfkd.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK ||
+        cp == 0x3099 || cp == 0x309A)
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
-    UTF8String.fromString(sb.toString)
+    val recomposed = java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(Translit.transliterate(recomposed))
   }
 }
 

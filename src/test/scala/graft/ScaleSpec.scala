@@ -191,6 +191,30 @@ class ScaleSpec extends SparkSuite {
     assert(m == "Café")
   }
 
+  test("normalizeAscii transliterates Greek/Cyrillic/Kana (unidecode analog)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("Αθήνα", "Athina"), // Greek incl. accented eta (mark stripped first)
+      ("Чайковский", "Chaikovskii"), // Cyrillic, BGN-like
+      ("Москва 1812", "Moskva 1812"),
+      ("はつねみく", "hatsunemiku"), // hiragana
+      ("ハツネ ミク", "hatsune miku"), // katakana
+      ("きゃりー", "kyarii"), // digraph + long-vowel mark
+      ("しゃちょう", "shachou"), // sha digraph (not shya)
+      ("じゃがいも", "jagaimo"), // ja digraph
+      ("きっと", "kitto"), // sokuon gemination
+      ("ヴォーカロイド", "vookaroido"), // vu + small vowel + long mark
+      ("がぎぐげご", "gagigugego"), // voicing marks survive the NFKD strip
+      ("初音ミク", "初音miku"), // Han passes through (documented divergence)
+      ("Tavaszi Szél", "Tavaszi Szel"), // Latin accents still fold
+      ("ｆｕｌｌｗｉｄｔｈ１２３", "fullwidth123")) // NFKD compatibility
+    val got = cases.map(_._1).toDF("s")
+      .select(CatalystExprs.normalizeAscii(col("s"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases).filter(p => p._1 != p._2._2).mkString("; "))
+  }
+
   test("streaming ingestion: same triples as batch, duplicates dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
