@@ -283,14 +283,15 @@ object Bench {
     // leg attempts MERGE: the min across every run of every attempt is
     // the least-polluted observation (contention only ever adds time), so
     // re-measuring a leg later can only sharpen it, never bias it
-    def leg(n: Int, runsOverride: Int = -1): Unit = {
+    def leg(n: Int, runsOverride: Int = -1, jobKind: String = "full"): Unit = {
       val (best, times) = runLeg(n, turnsPath, nTriples,
         // 1-2 core JVMs JIT slowly in wall-time terms relative to their
         // run length — r3 traces were still descending at run 7 (the min
         // landed on the LAST run twice), so give them 9
         runs = if (runsOverride > 0) runsOverride
           else if (n <= 2) 9 else if (n <= 8) 6 else 10,
-        maxSpread = if (n >= 32) Double.MaxValue else 2.0)
+        maxSpread = if (n >= 32) Double.MaxValue else 2.0,
+        jobKind = jobKind)
       legs.get(n) match {
         case Some((b0, t0)) => legs(n) = (math.min(b0, best), t0 ++ times)
         case None => legs(n) = (best, times)
@@ -329,10 +330,8 @@ object Bench {
         val iterSec: Int => Double =
           if (wideKinds.contains(iterKind)) { ls.foreach(n => canonLeg(n)); canonSec }
           else {
-            ls.foreach(n => legs(n) = runLeg(n, turnsPath, nTriples,
-              runs = if (n <= 2) 9 else if (n <= 8) 6 else 10,
-              maxSpread = if (n >= 32) Double.MaxValue else 2.0,
-              jobKind = iterKind))
+            // same run-count/dispersion policy + min-merge as full runs
+            ls.foreach(n => leg(n, jobKind = iterKind))
             sec
           }
         val legsJson = ls.map(n => s""""$n":${f"${iterSec(n)}%.3f"}""")

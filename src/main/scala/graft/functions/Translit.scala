@@ -107,9 +107,12 @@ object Translit {
             if (kana.contains(c) && smallY.contains(nx) && syl.endsWith("i")) {
               val stem = syl.dropRight(1) // ki->k, shi->sh, chi->ch, ji->j
               val y = smallY(nx)
+              // ONLY sh/ch/j swallow the y (sha/cha/ja); a bare "h"
+              // stem (hi) keeps it: ひゃ -> hya, not "ha"
               syl =
-                if (stem.endsWith("h") || stem == "j") stem + y.drop(1) // sha/ja
-                else stem + y // kya
+                if (stem == "sh" || stem == "ch" || stem == "j")
+                  stem + y.drop(1)
+                else stem + y // kya, hya, nya, ...
               i += 1
             } else if (kana.contains(c) && syl.length > 1 &&
               smallVowel.contains(nx)) {

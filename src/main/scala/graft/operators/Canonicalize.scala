@@ -77,7 +77,39 @@ object Canonicalize {
     * UTF-16 units) costs ONE edit on both stages, and the refinement cap
     * can never be stricter than the candidate criterion by a unit
     * artifact. */
+  @inline private def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
   private[operators] def jvmLev(a: String, b: String): Int = {
+    // BMP fast path: this runs per member-leader pair in the refinement
+    // inner loop (allocation rate is the measured scaling limiter);
+    // surrogate-free strings — the overwhelming majority of normalized
+    // keys — compare chars directly with only the dp row allocated. The
+    // codepoint form below keeps astral chars at one edit each, matching
+    // Spark's levenshtein() in the candidate stage.
+    if (!hasSurrogate(a) && !hasSurrogate(b)) {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      var i = 1
+      while (i <= a.length) {
+        var prevDiag = dp(0); dp(0) = i
+        var j = 1
+        while (j <= b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prevDiag + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prevDiag = t
+          j += 1
+        }
+        i += 1
+      }
+      return dp(b.length)
+    }
     val ca = a.codePoints().toArray
     val cb = b.codePoints().toArray
     val dp = Array.tabulate(cb.length + 1)(identity)

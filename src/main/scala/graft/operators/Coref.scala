@@ -25,7 +25,9 @@ import graft.Schemas._
  */
 object Coref {
 
-  private val anaphor = java.util.regex.Pattern.compile(
+  /** Shared with [[SkewSalting.corefSalted]] — ONE anaphor definition,
+    * so the salted and unsalted paths cannot drift apart. */
+  private[operators] val anaphor = java.util.regex.Pattern.compile(
     "(?i)\\b(it|that (song|track|tune))\\b")
 
   final case class CorefLink(conv_id: String, turn_idx: Int,

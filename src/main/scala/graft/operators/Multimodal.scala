@@ -79,7 +79,14 @@ object Multimodal {
   }
 
   /** REAL pixel decode (full raster). None if unrecognized/corrupt. */
-  def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+  def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    decodeImage(bytes).map(_._2)
+
+  /** One-open decode: match a reader once and return BOTH the header
+    * metadata and the raster — the per-row feature path must not pay two
+    * stream/reader/header cycles per image. None if unrecognized. */
+  def decodeImage(bytes: Array[Byte])
+      : Option[(MediaMeta, java.awt.image.BufferedImage)] = {
     if (bytes == null || bytes.isEmpty) return None
     val iis = memStream(bytes)
     try {
@@ -88,7 +95,9 @@ object Multimodal {
       val r = readers.next()
       try {
         r.setInput(iis)
-        Option(r.read(0))
+        val meta = MediaMeta(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+          r.getWidth(0), r.getHeight(0), bytes.length.toLong)
+        Some((meta, r.read(0)))
       } finally r.dispose()
     } catch { case _: Exception => None }
     finally iis.close()
@@ -209,11 +218,9 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (codec contexts, models)
         it.map { case (id, payload) =>
-          imageMeta(payload) match {
-            case Some(meta) =>
-              val hist = decodePixels(payload).map(luminanceHistogram(_))
-                .getOrElse(byteHistogram(payload))
-              MediaFeature(id, meta, hist)
+          decodeImage(payload) match {
+            case Some((meta, img)) =>
+              MediaFeature(id, meta, luminanceHistogram(img))
             case None =>
               MediaFeature(id, decodeImageStub(payload), byteHistogram(payload))
           }

@@ -84,12 +84,16 @@ object SkewSalting {
   final case class CorefRow(conv_id: String, chunk: Int, is_ctx: Boolean,
       turn_idx: Int, anaphor: Boolean, titles: Seq[String])
 
-  private val anaphorPat = java.util.regex.Pattern.compile(
-    "(?i)\\b(it|that (song|track|tune))\\b")
-
   /** Coref over salted chunks: same semantics as [[Coref.resolve]] but the
     * wide stage keys on (conv_id, chunk) — hot conversations fan out over
-    * `size/chunkSize` tasks instead of one. */
+    * `size/chunkSize` tasks instead of one.
+    *
+    * The chunk/overlap logic below intentionally mirrors [[salt]] with the
+    * record pruned to [[CorefRow]] (salt stays the GENERAL overlap-context
+    * machinery for arbitrary windowed computations over full turns). The
+    * twin invariants are pinned separately: ScaleSpec's salted==unsalted
+    * equivalence guards this path; the salt guard test guards salt's —
+    * a drift in either breaks its test. */
   def corefSalted(spark: SparkSession, decoded: Dataset[DecodedTurn],
       window: Int = 5, chunkSize: Int = 1000,
       maxHotConvs: Int = 100000): Dataset[Coref.CorefLink] = {
@@ -108,7 +112,7 @@ object SkewSalting {
     decoded.flatMap { d =>
       val titles = d.entities.collect { case e if e.tag == "TITLE" => e.text }
       val ana = titles.isEmpty && d.text != null &&
-        anaphorPat.matcher(d.text).find()
+        Coref.anaphor.matcher(d.text).find()
       def row(chunk: Int, isCtx: Boolean) =
         CorefRow(d.conv_id, chunk, isCtx, d.turn_idx, ana, titles)
       if (!hotB.value.contains(d.conv_id)) Seq(row(0, isCtx = false))

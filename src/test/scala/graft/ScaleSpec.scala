@@ -203,6 +203,8 @@ class ScaleSpec extends SparkSuite {
       ("しゃちょう", "shachou"), // sha digraph (not shya)
       ("じゃがいも", "jagaimo"), // ja digraph
       ("きっと", "kitto"), // sokuon gemination
+      ("ひゃく", "hyaku"), // hi+small-ya keeps the y (not "haku")
+      ("にゅう", "nyuu"), // ni+small-yu
       ("ヴォーカロイド", "vookaroido"), // vu + small vowel + long mark
       ("がぎぐげご", "gagigugego"), // voicing marks survive the NFKD strip
       ("初音ミク", "初音miku"), // Han passes through (documented divergence)
