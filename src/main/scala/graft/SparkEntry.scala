@@ -74,10 +74,16 @@ object SparkEntry {
     (SparkSession, Long), DataFrame]()
   private def canonPrefix(s: SparkSession, n: Long): DataFrame = {
     val out = canonCache.computeIfAbsent((s, n), { key =>
-      val dict = key._1.sparkContext.broadcast(Linker.buildDict())
-      val linked = Linker.link(key._1,
-        Decode.mentions(key._1, decodedPrefix(key._1, key._2)), dict).toDF()
-      Canonicalize.canonicalMap(key._1, linked)
+      // canonicalization reads ONLY (tag, text) — routing through
+      // Linker.link here built a 10-field LinkedMention per mention for
+      // two columns (typed lambdas block Catalyst pruning; in the REAL
+      // checkpointed pipeline the canon stage reads the linked PARQUET
+      // column-pruned, so this in-memory chain was the only place paying
+      // it). The linked stage itself is value-gated by
+      // q_kg_linked_digest; the (tag, text) multiset is identical either
+      // way (link is 1:1), so the canon gates are unaffected.
+      Canonicalize.canonicalMap(key._1,
+        Decode.mentions(key._1, decodedPrefix(key._1, key._2)).toDF())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
     boundSessionCache(canonCache, s, n)
