@@ -271,9 +271,12 @@ object Bench {
     // (each node brings its own memory bandwidth). 2->8 and 8->32 are
     // reported alongside to document the ceiling honestly.
     val legs = scala.collection.mutable.Map[Int, (Double, Seq[Double])]()
-    // Spark-free control results (filled interleaved with legs 1 and 4)
+    // Spark-free control results (filled interleaved with legs 1 and 4;
+    // 8/32 samples make the membw-ceiling claim machine-checkable)
     var microTps1 = 0.0
     var microTps4 = 0.0
+    var microTps8 = 0.0
+    var microTps32 = 0.0
     // enough timed runs that each leg reaches JIT steady state — JIT
     // warms in wall-time, so the long small-n runs need fewer of them.
     // The full-width 32-leg sees every transient on a shared box and
@@ -355,7 +358,16 @@ object Bench {
         microTps1 = runMicro(1, 5)
         leg(4)
         microTps4 = runMicro(4, 5)
-        Seq(2, 8, 32).foreach(n => leg(n))
+        leg(2)
+        // 8->32 control pair, interleaved with ITS legs like the headline
+        // pair: if the Spark-free hot path saturates 8->32 the same way
+        // the engine does, the 8->32 droop is the box's memory-bandwidth
+        // ceiling, not engine overhead — now machine-checkable from the
+        // JSON (micro_scaling_efficiency_8_32) instead of a prose claim
+        leg(8)
+        microTps8 = runMicro(8, 3)
+        leg(32)
+        microTps32 = runMicro(32, 3)
         // SECOND independent attempt for the headline pair + its control,
         // ~15 min after the first: box throughput drifts on ~10 min
         // scales (r3 observed the 4-core leg swing 12.4s -> 14.4s within
@@ -395,6 +407,9 @@ object Bench {
     // drop the materialized bench input (a few hundred MB under /tmp)
     cleanupTurns()
     val microEff = (microTps4 / microTps1) / 4.0
+    val microEff8to32 =
+      if (microTps8 > 0 && microTps32 > 0) (microTps32 / microTps8) / 4.0
+      else 0.0
 
     val (ct1, ct4) = (canonSec(1), canonSec(4))
     val canonEff = (ct1 / ct4) / 4.0
@@ -431,9 +446,11 @@ object Bench {
         s""""canon_leg_times":{"1":${canonRaw(1)},"4":${canonRaw(4)}},""" +
         s""""canon_scaling_efficiency":${f"$canonEff%.3f"},""" +
         s""""micro_tps_n1":${f"$microTps1%.1f"},"micro_tps_n4":${f"$microTps4%.1f"},""" +
+        s""""micro_tps_n8":${f"$microTps8%.1f"},"micro_tps_n32":${f"$microTps32%.1f"},""" +
         s""""micro_scaling_efficiency_1_4":${f"$microEff%.3f"},""" +
+        s""""micro_scaling_efficiency_8_32":${f"$microEff8to32%.3f"},""" +
         s""""kg_vs_platform_ceiling_1_4":${f"${eff / microEff}%.3f"},""" +
         s""""canon_vs_platform_ceiling_1_4":${f"${canonEff / microEff}%.3f"},""" +
-        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour, and the headline pair + control get a SECOND independent attempt later in the run (legs merge by min time, control by max tps - both estimate the quiet-box value); micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling; canon_* is the same 1-vs-4 fresh-JVM protocol applied to the canonicalization WIDE stage (pre-decoded parquet -> mentions -> link -> canonicalMap), interleaved with its own micro control samples"}""")
+        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour, and the headline pair + control get a SECOND independent attempt later in the run (legs merge by min time, control by max tps - both estimate the quiet-box value); micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling (micro_scaling_efficiency_8_32 is the control's own 8->32 number, sampled interleaved with legs 8 and 32 — the ceiling claim is machine-checkable); canon_* is the same 1-vs-4 fresh-JVM protocol applied to the canonicalization WIDE stage (pre-decoded parquet -> mentions -> link -> canonicalMap), interleaved with its own micro control samples"}""")
   }
 }

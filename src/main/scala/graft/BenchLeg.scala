@@ -80,8 +80,9 @@ object BenchLeg {
     // warm-ups (codegen/JIT — a fresh JVM needs two passes before timings
     // flatten), the first doubling as the determinism gate: every
     // parallelism level must produce the identical triple (or canonical
-    // surface-form) count
-    if (jobKind == "full" || jobKind == "canon")
+    // surface-form / salted-coref) count — the parent computes `expected`
+    // at ITS parallelism for all three job kinds
+    if (jobKind == "full" || jobKind == "canon" || jobKind == "coref")
       require(job() == expected, s"nondeterministic $jobKind count at local[$n]")
     else job()
     job()

@@ -66,7 +66,8 @@ object Translit {
     'ば' -> "ba", 'び' -> "bi", 'ぶ' -> "bu", 'べ' -> "be", 'ぼ' -> "bo",
     'ぱ' -> "pa", 'ぴ' -> "pi", 'ぷ' -> "pu", 'ぺ' -> "pe", 'ぽ' -> "po",
     'ゔ' -> "vu",
-    'ぁ' -> "a", 'ぃ' -> "i", 'ぅ' -> "u", 'ぇ' -> "e", 'ぉ' -> "o")
+    'ぁ' -> "a", 'ぃ' -> "i", 'ぅ' -> "u", 'ぇ' -> "e", 'ぉ' -> "o",
+    'ゕ' -> "ka", 'ゖ' -> "ke") // small ka/ke (counters), incl. ヵ/ヶ folded
 
   private val smallY = Map('ゃ' -> "ya", 'ゅ' -> "yu", 'ょ' -> "yo")
   private val smallVowel = Set('ぁ', 'ぃ', 'ぅ', 'ぇ', 'ぉ')
@@ -80,16 +81,24 @@ object Translit {
   private def isVowel(c: Char): Boolean =
     c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u'
 
-  /** Transliterate one string; see the object Scaladoc for the scheme. */
+  /** Transliterate one string; see the object Scaladoc for the scheme.
+    * A sokuon (small っ/ッ) geminates the next consonant; when nothing
+    * consumes it — trailing っ, っ before a vowel-initial syllable, or っ
+    * before unmapped text (Han/Latin) — it is emitted as "tsu" (the
+    * standalone reading, matching unidecode's per-kana output) rather
+    * than silently dropped. */
   def transliterate(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var geminate = false // a small っ/ッ doubles the next consonant
+    @inline def flushSokuon(): Unit =
+      if (geminate) { sb.append("tsu"); geminate = false }
     var i = 0
     while (i < s.length) {
       val raw = s.charAt(i)
       val c = toHiragana(raw)
-      if (c == 'っ') { geminate = true; i += 1 }
+      if (c == 'っ') { flushSokuon(); geminate = true; i += 1 }
       else if (raw == 'ー') {
+        flushSokuon()
         // long-vowel mark: repeat the previous output vowel if any
         val n = sb.length()
         if (n > 0 && isVowel(sb.charAt(n - 1))) sb.append(sb.charAt(n - 1))
@@ -98,7 +107,7 @@ object Translit {
         val base: String =
           kana.get(c).orElse(greek.get(raw)).orElse(cyrillic.get(raw))
             .getOrElse(null)
-        if (base == null) { sb.append(raw); geminate = false; i += 1 }
+        if (base == null) { flushSokuon(); sb.append(raw); i += 1 }
         else {
           var syl = base
           // kana digraphs: look at the NEXT char (katakana-folded)
@@ -120,14 +129,15 @@ object Translit {
               i += 1
             }
           }
-          if (geminate && syl.nonEmpty && !isVowel(syl.charAt(0)))
-            sb.append(syl.charAt(0))
-          geminate = false
+          if (geminate && syl.nonEmpty && !isVowel(syl.charAt(0))) {
+            sb.append(syl.charAt(0)); geminate = false
+          } else flushSokuon() // vowel-initial syllable can't geminate
           sb.append(syl)
           i += 1
         }
       }
     }
+    flushSokuon() // trailing っ
     sb.toString
   }
 }

@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
  */
 object IcebergishTable {
 
+  /** One data file's lineage entry. `pid` is the output FILE index in
+    * filename order (part-00000… = 0) — with one file per write task this
+    * coincides with the partition id, but after AQE coalescing or
+    * maxRecordsPerFile splitting it is simply the file ordinal.
+    * `statsExact` is false when the parquet footer omitted or truncated
+    * the key column's chunk statistics (e.g. very large binary values):
+    * keyMin/keyMax are then empty and the entry must not be used for
+    * key-range pruning. */
   final case class PartitionLineage(pid: Int, keyMin: String, keyMax: String,
-      rows: Long)
+      rows: Long, statsExact: Boolean = true)
   final case class Manifest(snapshotId: String, stage: String,
       parentSnapshot: String, rows: Long, partitions: Seq[PartitionLineage],
       committed: Boolean, wallMs: Long = 0L)
@@ -32,7 +40,8 @@ object IcebergishTable {
 
   private def manifestJson(m: Manifest): String = {
     val parts = m.partitions.map(p =>
-      s"""{"pid":${p.pid},"key_min":${q(p.keyMin)},"key_max":${q(p.keyMax)},"rows":${p.rows}}""")
+      s"""{"pid":${p.pid},"key_min":${q(p.keyMin)},"key_max":${q(p.keyMax)},""" +
+        s""""rows":${p.rows},"stats_exact":${p.statsExact}}""")
       .mkString("[", ",", "]")
     s"""{"snapshot_id":${q(m.snapshotId)},"stage":${q(m.stage)},""" +
       s""""parent_snapshot":${q(m.parentSnapshot)},"rows":${m.rows},""" +
@@ -59,12 +68,17 @@ object IcebergishTable {
    * footers are a driver-side metadata read (KBs per file, no executor
    * work at all).
    *
-   * `pid` = output file index in filename order (part-00000... = 0);
-   * min/max come from the column chunk statistics, compared in the
-   * column's OWN type order (numeric keys compare numerically — an
-   * improvement over the old cast-to-string lexicographic min/max) and
-   * stringified for the manifest. Deterministic snapshot id = stage +
-   * row count + parent (content-derived, no wall clock).
+   * `pid` = output file index in filename order (part-00000... = 0; see
+   * [[PartitionLineage]] for the exact semantics); min/max come from the
+   * column chunk statistics, compared in the column's OWN type order
+   * (numeric keys compare numerically — an improvement over the old
+   * cast-to-string lexicographic min/max) and stringified for the
+   * manifest. Footers are fetched by a bounded thread pool (serial reads
+   * were the commit's critical path once file counts reach 10^5); entries
+   * whose footer lacks usable key statistics are flagged
+   * `stats_exact=false` and logged rather than silently written empty.
+   * Deterministic snapshot id = stage + row count + parent
+   * (content-derived, no wall clock).
    */
   def commit(spark: SparkSession, df: DataFrame, root: String, stage: String,
       keyCol: String, parentSnapshot: String = "none"): Manifest = {
@@ -82,24 +96,42 @@ object IcebergishTable {
       case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
       case x => String.valueOf(x)
     }
-    val lineage = fs.listStatus(outPath).toSeq
+    val files = fs.listStatus(outPath).toSeq
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-      .zipWithIndex.map { case (f, pid) =>
-        val meta = ParquetFileReader.readFooter(conf, f.getPath,
-          ParquetMetadataConverter.NO_FILTER)
-        val blocks = meta.getBlocks.asScala.toSeq
-        val nRows = blocks.map(_.getRowCount).sum
-        // merge the keyCol chunk stats across row groups (type-ordered)
-        val stats = blocks.flatMap(_.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol).map(_.getStatistics))
-          .filter(s => s != null && s.hasNonNullValue)
-        val merged = stats.reduceOption { (a, b) => a.mergeStatistics(b); a }
-        PartitionLineage(pid,
-          merged.map(s => statToString(s.genericGetMin)).getOrElse(""),
-          merged.map(s => statToString(s.genericGetMax)).getOrElse(""),
-          nRows)
-      }
+    // Footer reads are metadata-only (KBs each) but LATENCY-bound against
+    // a remote object store: at 10^5 output files a serial driver loop
+    // becomes the commit's critical path, so fan the reads out over a
+    // bounded thread pool (order restored by index; the pool is sized for
+    // IO latency hiding, not CPU).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, files.size)))
+    val lineage = try {
+      files.zipWithIndex.map { case (f, pid) =>
+        pool.submit(new java.util.concurrent.Callable[PartitionLineage] {
+          def call(): PartitionLineage = {
+            val meta = ParquetFileReader.readFooter(conf, f.getPath,
+              ParquetMetadataConverter.NO_FILTER)
+            val blocks = meta.getBlocks.asScala.toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            // merge the keyCol chunk stats across row groups (type-ordered)
+            val stats = blocks.flatMap(_.getColumns.asScala
+                .find(_.getPath.toDotString == keyCol).map(_.getStatistics))
+              .filter(s => s != null && s.hasNonNullValue)
+            val merged = stats.reduceOption { (a, b) => a.mergeStatistics(b); a }
+            PartitionLineage(pid,
+              merged.map(s => statToString(s.genericGetMin)).getOrElse(""),
+              merged.map(s => statToString(s.genericGetMax)).getOrElse(""),
+              nRows, statsExact = merged.nonEmpty || nRows == 0)
+          }
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
+    lineage.filter(p => !p.statsExact).foreach { p =>
+      System.err.println(s"[icebergish] $stage pid=${p.pid}: parquet footer " +
+        s"carries no usable statistics for key column '$keyCol' — lineage " +
+        "entry flagged stats_exact=false (not usable for key-range pruning)")
+    }
     val rows = lineage.map(_.rows).sum
     // per-stage metrics (SURVEY §7.6): rows + wall ms, per-partition rows
     // and key ranges already carried by the lineage entries

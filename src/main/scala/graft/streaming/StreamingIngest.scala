@@ -68,13 +68,13 @@ object StreamingIngest {
       watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
     val tagsOf = udf { (text: String) =>
+      // packed hot-path forms (no Token objects, no per-token substrings)
+      // — same allocation profile as Pipeline.extractTurn; packed==object
+      // equivalence is pinned by PropertySpec
       val model = bc.value
-      val toks = graft.functions.PyText.tokenizeWithOffsets(text)
-      val tags = Detector.tagTokens(model, text, toks)
-      Decode.decodeEntities(text,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
-        .map(_.tag)
+      val offs = graft.functions.PyText.tokenizeOffsetsPacked(text)
+      val tags = Detector.tagTokensPacked(model, text, offs)
+      Decode.decodeEntitiesPacked(text, offs, tags).map(_.tag)
     }
     turns
       .withWatermark("ts", watermark)

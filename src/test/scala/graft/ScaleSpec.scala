@@ -207,6 +207,11 @@ class ScaleSpec extends SparkSuite {
       ("にゅう", "nyuu"), // ni+small-yu
       ("ヴォーカロイド", "vookaroido"), // vu + small vowel + long mark
       ("がぎぐげご", "gagigugego"), // voicing marks survive the NFKD strip
+      ("あっ", "atsu"), // trailing sokuon emits its standalone reading
+      ("まって初音", "matte初音"), // geminating sokuon before unmapped Han
+      ("あっ初音", "atsu初音"), // unconsumed sokuon before unmapped Han
+      ("っお", "tsuo"), // sokuon before a vowel-initial syllable
+      ("一ヶ月", "一ke月"), // small ke (counter) now mapped
       ("初音ミク", "初音miku"), // Han passes through (documented divergence)
       ("Tavaszi Szél", "Tavaszi Szel"), // Latin accents still fold
       ("ｆｕｌｌｗｉｄｔｈ１２３", "fullwidth123")) // NFKD compatibility
