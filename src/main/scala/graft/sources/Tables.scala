@@ -47,8 +47,10 @@ object Tables {
 
   /** S1: the production JDBC scan shape (reference: src/data/database.py:
     * 24-43 — PostgreSQL joins pushed to the source via `dbtable` subquery,
-    * partitioned read on the numeric key). `load()` is untestable here
-    * (zero egress, no DB); the option wiring is pinned by SourcesSpec. */
+    * partitioned read on the numeric key). Executed end-to-end by
+    * SourcesSpec against embedded Derby (the sandbox has no network DB):
+    * partitioned range scan + the reference's 3-way join shape + filter
+    * pushdown; the option wiring is pinned by the same spec. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
       numPartitions: Int): DataFrame =
