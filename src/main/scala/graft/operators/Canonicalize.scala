@@ -250,6 +250,25 @@ object Canonicalize {
       .orderBy(col("count").desc)
   }
 
+  /** Diagnostic companion to the [[canonicalMap]] canopy-size guard: the
+    * connected components (with member counts) whose size exceeds
+    * `maxCanopySize` — i.e. the canopies whose O(m^2) refinement the
+    * guard refuses to run. Rebuilds the same forms/edges/CC chain as
+    * canonicalMap, so run it with the SAME mentions input (and, if
+    * changed, the same blocking guard) to see exactly what the guard saw. */
+  def hotCanopies(spark: SparkSession, mentions: DataFrame,
+      maxCanopySize: Int = 100000): DataFrame = {
+    val forms = surfaceForms(mentions).localCheckpoint()
+    val idf = charIdf(spark, forms)
+    val edges = aliasEdges(spark, forms, idfOpt = Some(idf))
+    val verts = forms.select(
+      concat_ws("\u0000", col("tag"), col("surface")).as("id"))
+    connectedComponents(spark, verts, edges)
+      .groupBy("component").count()
+      .where(col("count") > maxCanopySize)
+      .orderBy(col("count").desc)
+  }
+
   /**
    * G2: connected components by min-label propagation PLUS per-round
    * pointer jumping (shortcutting): after the neighbor-min step, each
@@ -370,8 +389,16 @@ object Canonicalize {
     * pathological canopy (every member its own leader) degrades to
     * O(m^2) inside one task; canopies are bounded in practice by the
     * [[aliasEdges]] hot-block guard, which caps the edge fan-out that
-    * could chain a huge canopy together. */
-  def canonicalMap(spark: SparkSession, mentions: DataFrame): DataFrame = {
+    * could chain a huge canopy together — and EXPLICITLY by
+    * `maxCanopySize`: a component larger than that THROWS (like the CC
+    * maxIter guard — an m^2 task that would run for hours must fail
+    * loudly, not hang a 1000-executor stage), with [[hotCanopies]] as
+    * the audit companion naming the offending components. Raise the
+    * bound or tighten the blocking guard deliberately, never silently. */
+  def canonicalMap(spark: SparkSession, mentions: DataFrame,
+      maxCanopySize: Int = 100000,
+      driverMaxVertices: Long = 200000L,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val forms = surfaceForms(mentions).localCheckpoint()
     val idf = charIdf(spark, forms)
@@ -379,7 +406,8 @@ object Canonicalize {
     val edges = aliasEdges(spark, forms, idfOpt = Some(idf))
     val verts = forms.select(
       concat_ws("\u0000", col("tag"), col("surface")).as("id"))
-    val cc = connectedComponents(spark, verts, edges)
+    val cc = connectedComponents(spark, verts, edges,
+      driverMaxVertices = driverMaxVertices, driverMaxEdges = driverMaxEdges)
     val labeled = forms
       .withColumn("id", concat_ws("\u0000", col("tag"), col("surface")))
       .join(cc, "id")
@@ -388,7 +416,7 @@ object Canonicalize {
         col("n_mentions"), normKey(col("surface")).as("nk"))
       .as[(String, String, String, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (comp, it) =>
         val members = it.toArray.sortWith { (a, b) =>
           if (a._4 != b._4) a._4 > b._4 // n_mentions desc
           else {
@@ -398,6 +426,13 @@ object Canonicalize {
             else utf8Compare(a._3, b._3) < 0 // surface asc (UTF-8)
           }
         }
+        if (members.length > maxCanopySize)
+          throw new IllegalStateException(
+            s"canopy $comp has ${members.length} members > " +
+              s"maxCanopySize=$maxCanopySize - the O(m^2) refinement task " +
+              "would dominate the stage; audit the offenders with " +
+              "Canonicalize.hotCanopies and either tighten the aliasEdges " +
+              "blocking guard or raise maxCanopySize deliberately")
         val idfMap = idfB.value
         // leaders in founding order; a member joins its FIRST match
         val leaders = scala.collection.mutable.ArrayBuffer

@@ -153,6 +153,74 @@ class KgStagesSpec extends SparkSuite {
     assert(triples.forall(_.obj != null))
   }
 
+  test("canopy-size guard: a giant canopy throws; hotCanopies names it") {
+    import spark.implicits._
+    // 60 surfaces that are ALL pairwise lev<=2 on their normalized keys
+    // ("zq00xk".."zq59xk") share one prefix AND one suffix block, so the
+    // candidate join connects them into a single 60-member canopy. With
+    // maxCanopySize=20 the O(m^2) refinement must refuse to run.
+    val giant = (0 until 60).map(i => ("TITLE", f"zq$i%02dxk"))
+    val mentions = (giant ++ giant).toDF("tag", "text") // n_mentions=2 each
+    val e = intercept[Exception] {
+      Canonicalize.canonicalMap(spark, mentions, maxCanopySize = 20).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("maxCanopySize")), s"wrong failure: $e")
+    // the audit diagnostic reports exactly that component and its size
+    val hot = Canonicalize.hotCanopies(spark, mentions, maxCanopySize = 20)
+      .collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 60L, hot.toSeq)
+    // at the default bound the same corpus refines fine
+    assert(Canonicalize.canonicalMap(spark, mentions).count() == 60L)
+  }
+
+  test("hybrid CC: iterative == driver at 2000 vertices (mixed topology)") {
+    import spark.implicits._
+    // chains of 40 (diameter stress for the pointer jumping), 20-spoke
+    // stars, and isolates — ≥10^3 vertices so the distributed path is
+    // exercised at a scaled surface universe, not just gate-sized graphs
+    val chains = (0 until 25).flatMap { c =>
+      (0 until 39).map(i => (f"c$c%02d_v$i%02d", f"c$c%02d_v${i + 1}%02d"))
+    }
+    val stars = (0 until 25).flatMap { s =>
+      (1 until 20).map(i => (f"s$s%02d_hub", f"s$s%02d_p$i%02d"))
+    }
+    val vertIds = (chains ++ stars).flatMap(e => Seq(e._1, e._2)).distinct ++
+      (0 until 100).map(i => f"iso$i%03d")
+    assert(vertIds.length >= 1500)
+    val verts = vertIds.toDF("id")
+    val edges = (chains ++ stars).toDF("src", "dst")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (driver, td) = timed(Canonicalize.connectedComponents(spark, verts,
+      edges).collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    val (iter, ti) = timed(Canonicalize.connectedComponents(spark, verts,
+      edges, driverMaxVertices = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    assert(driver == iter, "iterative CC diverged from driver union-find")
+    assert(driver.values.toSet.size == 25 + 25 + 100)
+    info(f"2000-vertex CC wall: driver=$td%.2fs iterative=$ti%.2fs")
+  }
+
+  test("hybrid canonicalization: forced-iterative CC == driver on a real corpus") {
+    import spark.implicits._
+    // same REAL alias graph (300-conv corpus mentions), both CC paths
+    val mentions = operators.Decode.mentions(spark,
+      Pipeline.decodeTurns(spark, TranscriptGen.generate(spark, 300L))).toDF()
+    def run(dmv: Long) = Canonicalize.canonicalMap(spark, mentions,
+        driverMaxVertices = dmv, driverMaxEdges = dmv)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val viaDriver = run(200000L)
+    val viaIterative = run(0L)
+    assert(viaDriver == viaIterative,
+      "canonical map differs between CC paths on the real alias graph")
+    assert(viaDriver.size > 100)
+  }
+
   test("alias-edge hot-block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     // 300 surfaces sharing prefix+suffix ("xx...yy") -> one hot block pair;
