@@ -132,6 +132,25 @@ object SparkEntry {
         null, ts))
   }
 
+  /** Pinned fixture turns for the q_kg_linked_digest gate's 0.7 tier:
+    * every gazetteer mention in the organic corpus hits the EXACT lookup
+    * (its text is a detected gazetteer surface), so the normalized-lookup
+    * rung of the scoring ladder never fired — a tier that cannot fail is
+    * not gated (the q_anti_join defect class). These turns QUOTE
+    * punctuation-variants of gazetteer surfaces: the regex mention source
+    * emits them (not exact surfaces, so not gazetteer-detected), their
+    * lowercase misses the exact index, and their stripped form hits the
+    * normalized index at 0.7. Shared with KgOracleDump's independent
+    * transcription. */
+  val linkerFixtureTurns: Seq[graft.Schemas.Turn] = {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq(
+      graft.Schemas.Turn("zfix0001", 0, "user",
+        "have you heard \"Senbon-Zakura\" yet? it rules", null, ts),
+      graft.Schemas.Turn("zfix0001", 1, "assistant",
+        "yes! \"DECO 27\" produced a version too", null, ts))
+  }
+
   /** Flagship: full KG extraction on synthesized transcripts. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.extract(spark, TranscriptGen.generate(spark, 200L)).toDF()
@@ -651,10 +670,19 @@ object SparkEntry {
     "q_kg_linked_digest" -> ((s, d) => {
       // linking VALUES gate: per-score-tier counts, distinct entity ids
       // and an md5 hashsum over (conv, turn, tag, text, entity_id) at the
-      // pinned 300-conv corpus; expected values minted by KgOracleDump's
-      // independent transcription of the scoring ladder
+      // pinned 300-conv corpus UNIONED with the mention fixtures and
+      // [[linkerFixtureTurns]] (quoted punctuation-variants of gazetteer
+      // surfaces, so the 0.7 normalized-lookup rung actually fires — it
+      // was vacuously green on the organic corpus, whose gazetteer
+      // mentions always hit the exact index). Input is the FULL mention
+      // union (gazetteer ∪ regex), matching what the checkpointed
+      // pipeline's linked stage consumes; expected values minted by
+      // KgOracleDump's independent transcription of the scoring ladder.
       val dict = s.sparkContext.broadcast(Linker.buildDict())
-      Linker.link(s, Decode.mentions(s, decodedPrefix(s, 300L)), dict).toDF()
+      val turns = TranscriptGen.generate(s, 300L).unionByName(
+        s.createDataset(mentionFixtureTurns ++ linkerFixtureTurns)(
+          org.apache.spark.sql.Encoders.product[graft.Schemas.Turn]))
+      Linker.link(s, Pipeline.mentionsAll(s, turns), dict).toDF()
         .select(col("link_score"), col("entity_id"),
           conv(substring(md5(concat_ws("\u0001", col("conv_id"),
             col("turn_idx").cast("string"), col("tag"), col("text"),
@@ -1055,13 +1083,16 @@ object SparkEntry {
   ('VOCALOID', 'gazetteer:ac', 287, 618874018990)) AS t(tag, detector, n, h)""",
     "q_kg_linked_digest" ->
       // minted by KgOracleDump's independent scoring-ladder transcription
-      // (300-conv pinned corpus). No 0.7 tier on this corpus: gazetteer
-      // surfaces hit exactly or fall through to surface-form ids.
+      // over the full mention union (300-conv pinned corpus + mention and
+      // linker fixtures). All four tiers fire: the linker fixtures quote
+      // punctuation-variants of gazetteer surfaces so the 0.7
+      // normalized-lookup rung is no longer vacuously green.
       """SELECT score::DOUBLE AS link_score, n::BIGINT AS n,
          ne::BIGINT AS n_entities, h::BIGINT AS hashsum FROM (VALUES
-  (0.5, 99, 95, 217959011915),
+  (0.5, 101, 97, 223093444841),
+  (0.7, 2, 2, 868914776),
   (0.9, 675, 2, 1464734101828),
-  (1.0, 6588, 111, 14245158430225)) AS t(score, n, ne, h)""",
+  (1.0, 6589, 111, 14247553674402)) AS t(score, n, ne, h)""",
     "q_kg_coref_digest" ->
       // minted by KgOracleDump's independent coref transcription
       // (300-conv pinned corpus; digest format as q_kg_edges)
@@ -1332,7 +1363,7 @@ object SparkEntry {
   ('TITLE:Ghost Rule', 'Ghost Rule', 'TITLE', 'Ghost Rule|Lemon Ghost Rule|Unravel Ghost Rule', 62),
   ('TITLE:Glass Aquarium', 'Glass Aquarium', 'TITLE', 'Glass Aquarium|Glass Aquarium Silent Vermilion|Glass Aquarium Unravel', 67),
   ('TITLE:Gurenge', 'Gurenge', 'TITLE', 'Gurenge', 72),
-  ('TITLE:Gurenge World is Mine', 'Gurenge World is Mine', 'TITLE', 'Gurenge World is Mine|World is Mine Gurenge', 2),
+  ('TITLE:Gurenge World is Mine', 'Gurenge World is Mine', 'TITLE', 'Gurenge World is Mine', 1),
   ('TITLE:Gurenge 群青', 'Gurenge 群青', 'TITLE', 'Gurenge 群青', 1),
   ('TITLE:Hollow Cathedral', 'Hollow Cathedral', 'TITLE', 'Electric Hanami Hollow Cathedral|Hollow Cathedral|Hollow Cathedral Lemon|Hollow Cathedral Night Parade|Hollow Cathedral Winter Meteor|Iron Butterfly Waltz Hollow Cathedral|群青 Hollow Cathedral', 108),
   ('TITLE:Iron Butterfly Waltz', 'Iron Butterfly Waltz', 'TITLE', 'Iron Butterfly Waltz|Iron Butterfly Waltz Pretender|Iron Butterfly Waltz Silent Vermilion|Rolling Girl Iron Butterfly Waltz', 88),
@@ -1360,6 +1391,7 @@ object SparkEntry {
   ('TITLE:Unravel Lemon', 'Unravel Lemon', 'TITLE', 'Unravel Lemon', 2),
   ('TITLE:Winter Meteor', 'Winter Meteor', 'TITLE', 'Winter Meteor|Winter Meteor Unravel|Winter Meteor 群青', 71),
   ('TITLE:World is Mine', 'World is Mine', 'TITLE', 'Unravel World is Mine|Winter Meteor World is Mine|World is Mine|World is Mine Neon Genesis Lament|World is Mine 群青', 92),
+  ('TITLE:World is Mine Gurenge', 'World is Mine Gurenge', 'TITLE', 'World is Mine Gurenge', 1),
   ('TITLE:Zero Gravity Heart', 'Zero Gravity Heart', 'TITLE', 'Melt Zero Gravity Heart|Zero Gravity Heart|Zero Gravity Heart Electric Hanami|Zero Gravity Heart Lemon', 83),
   ('TITLE:Zero Gravity Heart 夜に駆ける', 'Zero Gravity Heart 夜に駆ける', 'TITLE', 'Zero Gravity Heart 夜に駆ける|夜に駆ける Crystal Teardrop|夜に駆ける Last Train Home', 3),
   ('TITLE:うっせぇわ', 'うっせぇわ', 'TITLE', 'うっせぇわ', 73),
@@ -1389,7 +1421,8 @@ object SparkEntry {
   ('VOCALOID:Hatsune Miku', 'Hatsune Miku', 'VOCALOID', 'Hatsune Miku', 41),
   ('VOCALOID:IA', 'IA', 'VOCALOID', 'IA', 12),
   ('VOCALOID:KAITO', 'KAITO', 'VOCALOID', 'KAITO', 27),
-  ('VOCALOID:Kagamine Rin', 'Kagamine Rin', 'VOCALOID', 'Kagamine Len|Kagamine Rin', 57),
+  ('VOCALOID:Kagamine Len', 'Kagamine Len', 'VOCALOID', 'Kagamine Len', 28),
+  ('VOCALOID:Kagamine Rin', 'Kagamine Rin', 'VOCALOID', 'Kagamine Rin', 29),
   ('VOCALOID:Kasane Teto', 'Kasane Teto', 'VOCALOID', 'Kasane Teto', 29),
   ('VOCALOID:MEIKO', 'MEIKO', 'VOCALOID', 'MEIKO', 33),
   ('VOCALOID:Megurine Luka', 'Megurine Luka', 'VOCALOID', 'Megurine Luka', 32),
@@ -1402,8 +1435,8 @@ object SparkEntry {
   ('mentions_person', 284, 284, 8, 618858958089),
   ('modifier', 861, 30, 3, 1868356848412),
   ('on_album', 579, 30, 12, 1230686550545),
-  ('performed_by', 1895, 50, 22, 4167856386957),
-  ('vocal_by', 572, 30, 21, 1271372438179)) AS t(pred, n, ns, nd, h)""",
+  ('performed_by', 1895, 51, 22, 4170535099168),
+  ('vocal_by', 572, 30, 22, 1271030944775)) AS t(pred, n, ns, nd, h)""",
     "q_kg_mention_tag_counts" ->
       """SELECT tag, n::BIGINT AS n FROM (VALUES
   ('ALBUM', 3451),

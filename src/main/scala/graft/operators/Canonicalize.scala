@@ -58,14 +58,28 @@ object Canonicalize {
 
   /** Row-local char TF-IDF cosine over normalized keys (the sklearn
     * char-analyzer formula the reference's per-doc dedup uses,
-    * src/prod.py:185-198, against a GLOBAL idf map). */
+    * src/prod.py:185-198, against a GLOBAL idf map). Vectors are built
+    * per CODE POINT, matching [[charIdf]]'s keys (Spark `split(nk, "")`
+    * yields per-codepoint strings) — a per-UTF-16-unit vector would give
+    * every astral char idf 1.0 and silently diverge from the
+    * independently-minted oracle on an astral-bearing corpus. */
   private[operators] def tfidfCosine(ka: String, kb: String,
       idf: Map[String, Double]): Double = {
-    def vec(s: String): Map[Char, Double] = {
-      val counts = s.groupBy(identity).map { case (c, cs) => c -> cs.length.toDouble }
-      val v = counts.map { case (c, tf) => c -> tf * idf.getOrElse(c.toString, 1.0) }
-      val n = math.sqrt(v.values.map(x => x * x).sum)
-      if (n == 0) v else v.map { case (c, x) => c -> x / n }
+    def vec(s: String): collection.Map[String, Double] = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Double]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val k = new String(Character.toChars(cp))
+        counts.update(k, counts.getOrElse(k, 0.0) + 1.0)
+        i += Character.charCount(cp)
+      }
+      var norm2 = 0.0
+      counts.mapValuesInPlace { (c, tf) =>
+        val w = tf * idf.getOrElse(c, 1.0); norm2 += w * w; w
+      }
+      val n = math.sqrt(norm2)
+      if (n == 0) counts else counts.mapValuesInPlace((_, x) => x / n)
     }
     val (va, vb) = (vec(ka), vec(kb))
     va.iterator.map { case (c, x) => x * vb.getOrElse(c, 0.0) }.sum
@@ -129,22 +143,65 @@ object Canonicalize {
     dp(cb.length)
   }
 
+  /** Optimal-string-alignment distance over code points: Levenshtein
+    * plus adjacent TRANSPOSITION as one edit ("senbonzakrua" is 1 from
+    * "senbonzakura", not 2). Used by [[aliasMatch]]'s equal-length rule:
+    * it keeps the common typo class (one substitution or one swap) at
+    * distance 1 while a two-substitution different-entity pair stays 2. */
+  private[operators] def jvmOsa(a: String, b: String): Int = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    // three rolling rows (OSA needs i-2 for the transposition case)
+    var prev2 = new Array[Int](cb.length + 1)
+    var prev = Array.tabulate(cb.length + 1)(identity)
+    var cur = new Array[Int](cb.length + 1)
+    var i = 1
+    while (i <= ca.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= cb.length) {
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+        var d = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + cost)
+        if (i > 1 && j > 1 && ca(i - 1) == cb(j - 2) && ca(i - 2) == cb(j - 1))
+          d = math.min(d, prev2(j - 2) + 1)
+        cur(j) = d
+        j += 1
+      }
+      val t = prev2; prev2 = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(cb.length)
+  }
+
   /** The TIGHT member-vs-leader criterion for canopy refinement (G3).
     * Looser thresholds are fine for candidate generation but are NOT
     * transitively safe: lev<=3 merges "melt" with "lemon", and char
     * cosine>0.5 holds between a concatenated two-title surface and each
-    * constituent. Here lev is capped relative to the shorter key (a
-    * 4-char key tolerates 1 edit, 12-char keys the reference's full 3 —
-    * src/prod.py:210's absolute 3 was tuned for near-identical surfaces
-    * WITHIN one document), and the cosine path requires enough characters
-    * (>=8) for a char-distribution similarity to carry signal AND a
-    * tighter 0.8 threshold — ANY two longish same-language strings clear
-    * 0.5 on char unigrams ("ashesofthedawn" vs "hollowcathedral" does),
-    * which is fine for generating candidates but not for merging. */
+    * constituent. Two rules by length shape:
+    *
+    *  - EQUAL codepoint length: merge only at OSA distance <= 1 (one
+    *    substitution or one adjacent swap — the typo classes). The old
+    *    length-relative lev cap let equal-length keys differ in up to 3
+    *    positions, which conflated distinct real entities of the
+    *    "Kagamine Rin" / "Kagamine Len" shape (lev 2, and their char
+    *    DISTRIBUTIONS are near-identical, so the cosine rung merges them
+    *    too — equal-length pairs therefore never take the cosine rung).
+    *  - UNEQUAL length: lev capped relative to the shorter key (a 4-char
+    *    key tolerates 1 edit, 12-char keys the reference's full 3 —
+    *    src/prod.py:210's absolute 3 was tuned for near-identical
+    *    surfaces WITHIN one document), OR the cosine rung: >=8 chars
+    *    (enough for a char-distribution similarity to carry signal) and
+    *    a tighter 0.8 threshold — ANY two longish same-language strings
+    *    clear 0.5 on char unigrams ("ashesofthedawn" vs
+    *    "hollowcathedral" does), which is fine for generating candidates
+    *    but not for merging. */
   private[operators] def aliasMatch(nka: String, nkb: String,
       idf: Map[String, Double]): Boolean = {
-    val minLen = math.min(nka.codePointCount(0, nka.length),
-      nkb.codePointCount(0, nkb.length))
+    val lenA = nka.codePointCount(0, nka.length)
+    val lenB = nkb.codePointCount(0, nkb.length)
+    if (lenA == lenB) return jvmOsa(nka, nkb) <= 1
+    val minLen = math.min(lenA, lenB)
     val levCap = math.min(3, math.max(1, minLen / 4))
     jvmLev(nka, nkb) <= levCap ||
       (minLen >= 8 && tfidfCosine(nka, nkb, idf) > 0.8)

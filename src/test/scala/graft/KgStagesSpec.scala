@@ -100,6 +100,27 @@ class KgStagesSpec extends SparkSuite {
     assert(senbo.n_mentions == 4 && senbo.aliases.size == 3)
   }
 
+  test("equal-length distinct entities (Rin/Len shape) do not conflate; typos still merge") {
+    import spark.implicits._
+    // "Kagamine Rin" vs "Kagamine Len": equal-codepoint-length keys, two
+    // substitutions apart, char distributions near-identical — the old
+    // length-relative lev cap (and the cosine rung) merged them. The
+    // equal-length rule (OSA <= 1) keeps them separate while still
+    // merging the real typo classes: one extra char (unequal length,
+    // lev 1) and one adjacent transposition (equal length, OSA 1).
+    val mentions = (Seq.fill(4)(("VOCALOID", "Kagamine Rin")) ++
+      Seq.fill(3)(("VOCALOID", "Kagamine Len")) ++
+      Seq(("VOCALOID", "Kagamine Rinn"), ("VOCALOID", "Kagamine Rni")))
+      .toDF("tag", "text")
+    val canon = Canonicalize.canonicalMap(spark, mentions).collect()
+      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical"))
+      .toMap
+    assert(canon("Kagamine Rin") == "Kagamine Rin")
+    assert(canon("Kagamine Len") == "Kagamine Len", s"Rin/Len conflated: $canon")
+    assert(canon("Kagamine Rinn") == "Kagamine Rin") // 1-edit typo merges
+    assert(canon("Kagamine Rni") == "Kagamine Rin") // transposition merges
+  }
+
   test("canopy refinement: a bridge surface does NOT chain unrelated titles") {
     import spark.implicits._
     // "aaaa" and "bbb" are unrelated titles; "aaaa bbb" is the

@@ -194,10 +194,13 @@ object KgOracleDump {
       .map { case ((tag, sf), xs) => Form(tag, sf, xs.size.toLong, normKey(sf)) }
     val nkForms = allForms.filter(_.nk.nonEmpty)
 
-    // global char idf over the nk-bearing forms (mirrors aliasEdges)
+    // global char idf over the nk-bearing forms (mirrors aliasEdges);
+    // keys are CODE POINTS, like Spark's split(nk, "") in charIdf
+    def codePointStrings(s: String): Seq[String] =
+      s.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
     val nForms = nkForms.size
     val idf: Map[String, Double] = nkForms
-      .flatMap(f => f.nk.map(_.toString).distinct)
+      .flatMap(f => codePointStrings(f.nk).distinct)
       .groupBy(identity).map { case (ch, xs) =>
         ch -> (math.log((1.0 + nForms) / (1.0 + xs.size)) + 1.0) }
 
@@ -219,9 +222,10 @@ object KgOracleDump {
       dp(cb.length)
     }
     def tfidfCos(a: String, b: String): Double = {
-      def vec(s: String): Map[Char, Double] = {
-        val v = s.groupBy(identity).map { case (c, cs) =>
-          c -> cs.length.toDouble * idf.getOrElse(c.toString, 1.0) }
+      // per-CODEPOINT vectors, matching the idf keys above
+      def vec(s: String): Map[String, Double] = {
+        val v = codePointStrings(s).groupBy(identity).map { case (c, cs) =>
+          c -> cs.length.toDouble * idf.getOrElse(c, 1.0) }
         val n = math.sqrt(v.values.map(x => x * x).sum)
         if (n == 0) v else v.map { case (c, x) => c -> x / n }
       }
@@ -267,12 +271,36 @@ object KgOracleDump {
     // members in (n desc, codepoint-length desc, surface UTF-8 asc)
     // order; each joins the FIRST leader it matches under the tight
     // length-aware criterion, else founds a cluster
+    def osa(a: String, b: String): Int = {
+      // full-matrix optimal string alignment over code points
+      // (independent of the engine's rolling-rows form)
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      val d = Array.ofDim[Int](ca.length + 1, cb.length + 1)
+      for (i <- 0 to ca.length) d(i)(0) = i
+      for (j <- 0 to cb.length) d(0)(j) = j
+      for (i <- 1 to ca.length; j <- 1 to cb.length) {
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + cost).min
+        if (i > 1 && j > 1 && ca(i - 1) == cb(j - 2) && ca(i - 2) == cb(j - 1))
+          d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+      }
+      d(ca.length)(cb.length)
+    }
     def aliasMatchOracle(nka: String, nkb: String): Boolean = {
-      val minLen = math.min(nka.codePointCount(0, nka.length),
-        nkb.codePointCount(0, nkb.length))
-      val levCap = math.min(3, math.max(1, minLen / 4))
-      lev(nka, nkb) <= levCap ||
-        (minLen >= 8 && tfidfCos(nka, nkb) > 0.8)
+      // equal codepoint length: one substitution or one adjacent swap
+      // only (no cosine rung) — the Rin/Len conflation fix; unequal:
+      // length-relative lev cap or the tight cosine rung
+      val lenA = nka.codePointCount(0, nka.length)
+      val lenB = nkb.codePointCount(0, nkb.length)
+      if (lenA == lenB) osa(nka, nkb) <= 1
+      else {
+        val minLen = math.min(lenA, lenB)
+        val levCap = math.min(3, math.max(1, minLen / 4))
+        lev(nka, nkb) <= levCap ||
+          (minLen >= 8 && tfidfCos(nka, nkb) > 0.8)
+      }
     }
     val components: Map[String, Seq[Form]] =
       allForms.groupBy(f => find(key(f)))
@@ -392,43 +420,48 @@ object KgOracleDump {
     // an OWN regex + the raw gazetteer surface set (no Aho-Corasick),
     // span-deduped like Pipeline.mentionsFromDecoded; digested per
     // (tag, detector).
-    val mentionDigest: Seq[(String, String, Long, Long)] = {
+    // shared transcription: union mentions (gazetteer decode ∪ quoted-span
+    // regex, span-deduped gazetteer-first) for a given turn list — used by
+    // BOTH the mentions-digest and the linking oracles, which consume the
+    // union at different pinned corpora
+    def unionMentionRows(turns: Seq[graft.Schemas.Turn])
+        : Seq[(String, Int, String, String, Int, Int, String)] = {
       val quoted = java.util.regex.Pattern.compile(
         "[\"“]([^\"“”]{2,64})[\"”]")
       val gazLower: Set[String] = graft.Gazetteer.entries
         .map(_.surface.toLowerCase(java.util.Locale.ROOT)).toSet
-      val unionTurns = (0L until nCanon)
-        .flatMap(c => TranscriptGen.turnsOfConv(42L, c, 8)) ++
-        graft.SparkEntry.mentionFixtureTurns
-      val rows = unionTurns.flatMap { t =>
-        {
-          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
-          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
-          val gaz = ReferenceOracle.meSubstitute(
-            ReferenceOracle.decode(t.text, toks, tags),
-            if (t.role == null) "" else t.role)
-            .map { case (tag, txt, st, en) =>
-              (t.conv_id, t.turn_idx, tag, txt, st, en, "gazetteer:ac") }
-          val rex = {
-            val m = quoted.matcher(t.text)
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(String, Int, String, String, Int, Int, String)]
-            while (m.find()) {
-              val inner = m.group(1).trim
-              if (inner.nonEmpty &&
-                !gazLower.contains(inner.toLowerCase(java.util.Locale.ROOT)))
-                out += ((t.conv_id, t.turn_idx, "ALT_TITLE", inner,
-                  m.start(1), m.end(1), "regex:quoted"))
-            }
-            out.toSeq
+      turns.flatMap { t =>
+        val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
+        val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
+        val gaz = ReferenceOracle.meSubstitute(
+          ReferenceOracle.decode(t.text, toks, tags),
+          if (t.role == null) "" else t.role)
+          .map { case (tag, txt, st, en) =>
+            (t.conv_id, t.turn_idx, tag, txt, st, en, "gazetteer:ac") }
+        val rex = {
+          val m = quoted.matcher(t.text)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, String, String, Int, Int, String)]
+          while (m.find()) {
+            val inner = m.group(1).trim
+            if (inner.nonEmpty &&
+              !gazLower.contains(inner.toLowerCase(java.util.Locale.ROOT)))
+              out += ((t.conv_id, t.turn_idx, "ALT_TITLE", inner,
+                m.start(1), m.end(1), "regex:quoted"))
           }
-          // span dedup on (conv, turn, start, end, tag), gazetteer first
-          val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
-          (gaz ++ rex).filter { r =>
-            seen.add((r._5, r._6, r._3))
-          }
+          out.toSeq
+        }
+        // span dedup on (conv, turn, start, end, tag), gazetteer first
+        val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
+        (gaz ++ rex).filter { r =>
+          seen.add((r._5, r._6, r._3))
         }
       }
+    }
+    val mentionDigest: Seq[(String, String, Long, Long)] = {
+      val rows = unionMentionRows((0L until nCanon)
+        .flatMap(c => TranscriptGen.turnsOfConv(42L, c, 8)) ++
+        graft.SparkEntry.mentionFixtureTurns)
       rows.groupBy(r => (r._3, r._7)).toSeq.map { case ((tag, det), rs) =>
         (tag, det, rs.size.toLong,
           rs.map(r => h8(Seq(r._1, r._2.toString, r._3, r._4,
@@ -470,24 +503,23 @@ object KgOracleDump {
         m.toMap
       }
       val speakerRoles = Set("user", "assistant", "system", "tool")
-      (0L until nCanon).flatMap { c =>
-        TranscriptGen.turnsOfConv(42L, c, 8).flatMap { t =>
-          val toks = PyText.tokenizeWithOffsets(t.text).toIndexedSeq
-          val tags = Detector.tagTokens(model, t.text, toks.toArray).toIndexedSeq
-          ReferenceOracle.meSubstitute(
-            ReferenceOracle.decode(t.text, toks, tags),
-            if (t.role == null) "" else t.role)
-            .map { case (tag, txt, _, _) =>
-              val lower = txt.toLowerCase(java.util.Locale.ROOT)
-              val (eid, score): (String, Double) =
-                exactIdx.get(lower).map(e => (e, 1.0))
-                  .orElse(if (speakerRoles.contains(lower))
-                    Some((s"speaker:$lower", 0.9)) else None)
-                  .orElse(normIdx.get(normL(txt)).map(e => (e, 0.7)))
-                  .getOrElse((s"sf:$tag:${normL(txt)}", 0.5))
-              (t.conv_id, t.turn_idx, tag, txt, eid, score)
-            }
-        }
+      // input = the FULL mention union at the linked gate's pinned corpus:
+      // 300 convs + the mention fixtures + the LINKER fixtures (quoted
+      // punctuation-variants of gazetteer surfaces whose normalized key
+      // hits the 0.7 rung — without them the tier was vacuously green)
+      val rows = unionMentionRows((0L until nCanon)
+        .flatMap(c => TranscriptGen.turnsOfConv(42L, c, 8)) ++
+        graft.SparkEntry.mentionFixtureTurns ++
+        graft.SparkEntry.linkerFixtureTurns)
+      rows.map { case (cid, ti, tag, txt, _, _, _) =>
+        val lower = txt.toLowerCase(java.util.Locale.ROOT)
+        val (eid, score): (String, Double) =
+          exactIdx.get(lower).map(e => (e, 1.0))
+            .orElse(if (speakerRoles.contains(lower))
+              Some((s"speaker:$lower", 0.9)) else None)
+            .orElse(normIdx.get(normL(txt)).map(e => (e, 0.7)))
+            .getOrElse((s"sf:$tag:${normL(txt)}", 0.5))
+        (cid, ti, tag, txt, eid, score)
       }
     }
     val linkDigest: Seq[(Double, Long, Long, Long)] = linkRows
@@ -506,6 +538,9 @@ object KgOracleDump {
     }
     require(linkDigest.sorted == engLinked.sorted,
       "linking: engine != independent oracle — fix before minting")
+    require(linkDigest.exists(_._1 == 0.7),
+      "fixture corpus must exercise the 0.7 normalized-lookup tier " +
+        "(a tier that cannot fail is not gated)")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/linked_digest.sql"),
       linkDigest.sortBy(_._1).map { case (sc, n, ne, h) =>
