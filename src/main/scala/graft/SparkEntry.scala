@@ -470,6 +470,28 @@ object SparkEntry {
       }.toSeq.toDF("window", "sample_rate", "channels", "frames", "rms")
     }),
 
+    "q_video_frames" -> ((s, d) => {
+      // REAL video-container demux gate: a 6-frame animated GIF
+      // synthesized in-query (frame i = solid gray 32*i), demuxed by the
+      // JDK GIF reader via Multimodal.sampleVideoFrames with stride 2.
+      // Every sampled frame's luminance mass lands in exactly one bucket
+      // (Rec.601 luma of gray g is g; bucket = g*16/256 = i/8 of 16), so
+      // the expected rows are exact by construction. A non-container
+      // payload (row 99) must demux to zero frames.
+      import s.implicits._
+      val gif = Multimodal.encodeGif(
+        (0 until 6).map(i => Multimodal.solidFrame(16, 12, 32 * i)))
+      val media = Seq((1L, gif),
+        (99L, "not a container".getBytes("UTF-8"))).toDF("media_id", "payload")
+      Multimodal.sampleVideoFrames(s, media, stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          expr("array_position(histogram, array_max(histogram))")
+            .cast("int").as("lum_bucket"),
+          round(element_at(col("histogram"),
+            expr("array_position(histogram, array_max(histogram))")
+              .cast("int")), 6).as("mass"))
+    }),
+
     // ---- hash-seeded near-dup — all value-gated (VERDICT r3 item 3)
     "q_minhash_pairs" -> ((s, d) =>
       // LSH-candidate + exact-verify pairs; because verification is the
@@ -1039,6 +1061,14 @@ object SparkEntry {
   (0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0),
   (4, 0.610352), (5, 0.610352), (6, 0.610352), (7, 0.610352))
          AS t(w, r)""",
+    "q_video_frames" ->
+      // exact by construction: frame i of the synthesized GIF is solid
+      // gray 32*i (luma = gray), so each sampled frame (stride 2) puts
+      // ALL its luminance mass in 1-based bucket 2*i+1 of 16; the
+      // non-container payload contributes no rows
+      """SELECT m::BIGINT AS media_id, f AS frame_idx, 16 AS width,
+         12 AS height, b AS lum_bucket, 1.0::DOUBLE AS mass FROM (VALUES
+  (1, 0, 1), (1, 2, 5), (1, 4, 9)) AS t(m, f, b)""",
     // near-dup gates (VERDICT r3 item 3): the LSH/minhash candidate
     // paths are gated against EXACT all-pairs oracles — recall and
     // verification both in the hash

@@ -247,4 +247,30 @@ class DocOpsSpec extends SparkSuite {
       s"second half must carry the square-wave energy; got ${rms.toSeq}")
     assert(Multimodal.audioMeta("nope".getBytes("UTF-8")).isEmpty)
   }
+
+  test("REAL video demux: animated GIF frames enumerate, sample, decode") {
+    import spark.implicits._
+    // 8-frame animated GIF, frame i solid gray 24*i: a true multi-frame
+    // container round-trip with zero external tools (JDK writer+reader)
+    val gif = Multimodal.encodeGif(
+      (0 until 8).map(i => Multimodal.solidFrame(20, 10, 24 * i)))
+    val all = Multimodal.demuxFrames(gif, stride = 1)
+    assert(all.map(_._1) == (0 until 8), s"frame enumeration: ${all.map(_._1)}")
+    assert(all.forall { case (_, w, h, _) => w == 20 && h == 10 })
+    // each solid frame's luminance mass sits in exactly one bucket
+    all.foreach { case (i, _, _, hist) =>
+      val bucket = (24 * i) * 16 / 256
+      assert(math.abs(hist(bucket) - 1.0) < 1e-9,
+        s"frame $i mass not in bucket $bucket: ${hist.toSeq}")
+    }
+    // strided sampling through the Dataset operator
+    val media = Seq((7L, gif),
+      (8L, "not a container".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleVideoFrames(spark, media, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      Seq((7L, 0), (7L, 3), (7L, 6)))
+    // single-image / non-container payloads demux to nothing
+    assert(Multimodal.demuxFrames("nope".getBytes("UTF-8")).isEmpty)
+  }
 }
