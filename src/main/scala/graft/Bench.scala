@@ -383,6 +383,15 @@ object Bench {
         microTps1 = math.max(microTps1, runMicro(1, 3))
         canonLeg(4)
         microTps4 = math.max(microTps4, runMicro(4, 3))
+        // SECOND canon attempt, mirroring the headline pair: the r5 run
+        // showed a single-attempt canon pair is exposed to one bad
+        // window (its 1-core leg ran during a contention period and the
+        // pair read 0.76 where adjacent windows gave 0.79-0.84);
+        // min-merge means the retry can only sharpen the estimate
+        canonLeg(1, runsOverride = 3)
+        microTps1 = math.max(microTps1, runMicro(1, 2))
+        canonLeg(4, runsOverride = 3)
+        microTps4 = math.max(microTps4, runMicro(4, 2))
     }
     // sanity gate: a leg polluted by box contention (the driver harness
     // shares this machine) shows up as a pairwise efficiency that is
