@@ -222,6 +222,70 @@ object Canonicalize {
     x.length - y.length
   }
 
+  /** JVM twin of the column [[normKey]] (Spark `regexp_replace(lower(c),
+    * "[^\\p{L}\\p{N}]", "")` — java.util.regex treats \p{L}/\p{N} as
+    * Unicode categories with or without UNICODE_CHARACTER_CLASS, and the
+    * corpus carries no locale-sensitive case mappings; the mint gates
+    * pin the equivalence on real data). */
+  private val nonAlnumJvm = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]")
+  private[operators] def normKeyJvm(s: String): String =
+    nonAlnumJvm.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+
+  /** First n CODE POINTS (Spark `substring(c, 1, n)` semantics). */
+  @inline private def substrCp(s: String, n: Int): String = {
+    var i = 0; var cnt = 0
+    while (i < s.length && cnt < n) {
+      i += Character.charCount(s.codePointAt(i)); cnt += 1
+    }
+    if (i >= s.length) s else s.substring(0, i)
+  }
+
+  /** Reverse by CODE POINTS (Spark `reverse(c)` semantics). */
+  @inline private def reverseCp(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = s.length
+    while (i > 0) {
+      val cp = s.codePointBefore(i)
+      sb.appendCodePoint(cp)
+      i -= Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Greedy leader refinement of ONE canopy — shared VERBATIM by the
+    * distributed `flatMapGroups` path and the driver fast path so the
+    * two can never diverge. members = (tag, surface, n_mentions, nk);
+    * returns (tag, surface, n_mentions, node_id, canonical). */
+  private def refineCanopy(comp: String,
+      membersIn: Array[(String, String, Long, String)],
+      idfMap: Map[String, Double], maxCanopySize: Int)
+      : Iterator[(String, String, Long, String, String)] = {
+    val members = membersIn.sortWith { (a, b) =>
+      if (a._3 != b._3) a._3 > b._3 // n_mentions desc
+      else {
+        val la = a._2.codePointCount(0, a._2.length)
+        val lb = b._2.codePointCount(0, b._2.length)
+        if (la != lb) la > lb // length desc
+        else utf8Compare(a._2, b._2) < 0 // surface asc (UTF-8)
+      }
+    }
+    if (members.length > maxCanopySize)
+      throw new IllegalStateException(
+        s"canopy $comp has ${members.length} members > " +
+          s"maxCanopySize=$maxCanopySize - the O(m^2) refinement task " +
+          "would dominate the stage; audit the offenders with " +
+          "Canonicalize.hotCanopies and either tighten the aliasEdges " +
+          "blocking guard or raise maxCanopySize deliberately")
+    // leaders in founding order; a member joins its FIRST match
+    val leaders = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)] // (surface, nk)
+    members.iterator.map { case (tag, surface, n, nk) =>
+      val leader = leaders.find(l => aliasMatch(nk, l._2, idfMap))
+        .map(_._1).getOrElse { leaders += ((surface, nk)); surface }
+      (tag, surface, n, tag + ":" + leader, leader)
+    }
+  }
+
   /** Distinct surface forms with mention counts: (tag, surface, n). */
   def surfaceForms(mentions: DataFrame): DataFrame =
     mentions.groupBy(col("tag"), col("text").as("surface"))
@@ -458,6 +522,92 @@ object Canonicalize {
       driverMaxEdges: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val forms = surfaceForms(mentions).localCheckpoint()
+    // WHOLE-STAGE HYBRID (the CC hybrid's argument, applied to the full
+    // graph stage): everything below surfaceForms — char idf, blocked
+    // candidate pairs, connected components, canopy refinement — is a
+    // function of the DISTINCT-surface table, bounded by the alias
+    // universe, not the corpus. Below the vertex threshold one collect
+    // replaces ~10 small distributed jobs (idf count+collect, block-size
+    // aggregate, candidate join, CC rounds, refinement shuffle), each of
+    // which was pure corpus-independent scheduler tax on every pipeline
+    // run (the canon bench leg's non-parallelizing tail). The driver
+    // path reuses the SAME engine functions (jvmLev, tfidfCosine,
+    // aliasMatch, utf8Compare, refineCanopy) plus JVM twins of the
+    // column fns (normKeyJvm/substrCp/reverseCp), and KgStagesSpec pins
+    // driver == distributed on the real alias graph.
+    if (forms.count() <= driverMaxVertices) {
+      val rows = forms.select(col("tag"), col("surface"), col("n_mentions"))
+        .as[(String, String, Long)].collect()
+        .map { case (tag, sf, n) => (tag, sf, n, normKeyJvm(sf)) }
+      // global char idf (mirrors charIdf: nk-bearing forms only,
+      // per-codepoint df, log((1+n)/(1+df))+1)
+      val withNk = rows.filter(_._4.nonEmpty)
+      val nNk = withNk.length
+      val df = scala.collection.mutable.HashMap.empty[String, Int]
+      withNk.foreach { f =>
+        val seen = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        while (i < f._4.length) {
+          val cp = f._4.codePointAt(i)
+          val k = new String(Character.toChars(cp))
+          if (seen.add(k)) df.update(k, df.getOrElse(k, 0) + 1)
+          i += Character.charCount(cp)
+        }
+      }
+      val idf: Map[String, Double] = df.iterator
+        .map { case (ch, d) => ch -> (math.log((1.0 + nNk) / (1.0 + d)) + 1.0) }
+        .toMap
+      // blocked candidate pairs -> union-find (mirrors aliasEdges: 2-char
+      // normalized prefix/suffix blocks per tag, hot blocks dropped, pair
+      // criterion lev<=3 OR global-idf cosine>0.5)
+      def key(f: (String, String, Long, String)) = f._1 + "\u0000" + f._2
+      val parent = new java.util.HashMap[String, String](rows.length * 2)
+      rows.foreach(f => parent.put(key(f), key(f)))
+      def find(x: String): String = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      val maxBlockSize = 1000 // aliasEdges' default hot-block guard
+      withNk.flatMap(f => Seq(
+          ("p:" + f._1 + ":" + substrCp(f._4, 2)) -> f,
+          ("s:" + f._1 + ":" + substrCp(reverseCp(f._4), 2)) -> f))
+        .groupBy(_._1).valuesIterator
+        .filter(_.length <= maxBlockSize)
+        .foreach { es =>
+          var i = 0
+          while (i < es.length) {
+            var j = i + 1
+            while (j < es.length) {
+              val (a, b) = (es(i)._2, es(j)._2)
+              if (a._2 != b._2 &&
+                (jvmLev(a._4, b._4) <= 3 || tfidfCosine(a._4, b._4, idf) > 0.5)) {
+                val (ra, rb) = (find(key(a)), find(key(b)))
+                if (ra != rb) parent.put(rb, ra)
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+      // component label = min member key (UTF-8 order), like CC
+      val minOf = new java.util.HashMap[String, String]()
+      rows.foreach { f =>
+        val r = find(key(f))
+        val cur = minOf.get(r)
+        if (cur == null || utf8Compare(key(f), cur) < 0) minOf.put(r, key(f))
+      }
+      val out = rows.groupBy(f => minOf.get(find(key(f)))).toSeq
+        .sortBy(_._1)(Ordering.fromLessThan[String](utf8Compare(_, _) < 0))
+        .flatMap { case (comp, members) =>
+          refineCanopy(comp,
+            members.map(f => (f._1, f._2, f._3, f._4)), idf, maxCanopySize)
+        }
+      return out.toDF("tag", "surface", "n_mentions", "node_id", "canonical")
+    }
+    // DISTRIBUTED path: corpus-scale surface universes
     val idf = charIdf(spark, forms)
     val idfB = spark.sparkContext.broadcast(idf)
     val edges = aliasEdges(spark, forms, idfOpt = Some(idf))
@@ -474,31 +624,9 @@ object Canonicalize {
       .as[(String, String, String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, it) =>
-        val members = it.toArray.sortWith { (a, b) =>
-          if (a._4 != b._4) a._4 > b._4 // n_mentions desc
-          else {
-            val la = a._3.codePointCount(0, a._3.length)
-            val lb = b._3.codePointCount(0, b._3.length)
-            if (la != lb) la > lb // length desc
-            else utf8Compare(a._3, b._3) < 0 // surface asc (UTF-8)
-          }
-        }
-        if (members.length > maxCanopySize)
-          throw new IllegalStateException(
-            s"canopy $comp has ${members.length} members > " +
-              s"maxCanopySize=$maxCanopySize - the O(m^2) refinement task " +
-              "would dominate the stage; audit the offenders with " +
-              "Canonicalize.hotCanopies and either tighten the aliasEdges " +
-              "blocking guard or raise maxCanopySize deliberately")
-        val idfMap = idfB.value
-        // leaders in founding order; a member joins its FIRST match
-        val leaders = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String)] // (surface, nk)
-        members.iterator.map { case (_, tag, surface, n, nk) =>
-          val leader = leaders.find(l => aliasMatch(nk, l._2, idfMap))
-            .map(_._1).getOrElse { leaders += ((surface, nk)); surface }
-          (tag, surface, n, tag + ":" + leader, leader)
-        }
+        refineCanopy(comp,
+          it.map(m => (m._2, m._3, m._4, m._5)).toArray,
+          idfB.value, maxCanopySize)
       }
       .toDF("tag", "surface", "n_mentions", "node_id", "canonical")
   }
