@@ -100,7 +100,7 @@ object Canonicalize {
     false
   }
 
-  private[operators] def jvmLev(a: String, b: String): Int = {
+  private[graft] def jvmLev(a: String, b: String): Int = {
     // BMP fast path: this runs per member-leader pair in the refinement
     // inner loop (allocation rate is the measured scaling limiter);
     // surrogate-free strings — the overwhelming majority of normalized
@@ -148,7 +148,7 @@ object Canonicalize {
     * "senbonzakura", not 2). Used by [[aliasMatch]]'s equal-length rule:
     * it keeps the common typo class (one substitution or one swap) at
     * distance 1 while a two-substitution different-entity pair stays 2. */
-  private[operators] def jvmOsa(a: String, b: String): Int = {
+  private[graft] def jvmOsa(a: String, b: String): Int = {
     val ca = a.codePoints().toArray
     val cb = b.codePoints().toArray
     // three rolling rows (OSA needs i-2 for the transposition case)
@@ -223,16 +223,27 @@ object Canonicalize {
   }
 
   /** JVM twin of the column [[normKey]] (Spark `regexp_replace(lower(c),
-    * "[^\\p{L}\\p{N}]", "")` — java.util.regex treats \p{L}/\p{N} as
-    * Unicode categories with or without UNICODE_CHARACTER_CLASS, and the
-    * corpus carries no locale-sensitive case mappings; the mint gates
-    * pin the equivalence on real data). */
+    * "[^\\p{L}\\p{N}]", "")`). Lowercasing DELEGATES to the exact code
+    * the Lower expression runs — `CollationSupport.Lower` with the ICU
+    * flag read from the session conf — because neither JDK
+    * String.toLowerCase nor UTF8String.toLowerCase matches it: Spark 4's
+    * ICU casing applies Unicode Final_Sigma where the JDK does not
+    * ("σΣ0á" lowers to "σς0á" in Spark, "σσ0á" in the JDK; caught by
+    * the ScaleSpec twin property test). java.util.regex \p{L}/\p{N} are
+    * Unicode categories exactly as in Spark's regexp_replace. */
   private val nonAlnumJvm = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]")
-  private[operators] def normKeyJvm(s: String): String =
-    nonAlnumJvm.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+  private[graft] def normKeyJvm(s: String): String = {
+    val useICU = org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .exec(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType.collationId, useICU)
+      .toString
+    nonAlnumJvm.matcher(lowered).replaceAll("")
+  }
 
   /** First n CODE POINTS (Spark `substring(c, 1, n)` semantics). */
-  @inline private def substrCp(s: String, n: Int): String = {
+  @inline private[graft] def substrCp(s: String, n: Int): String = {
     var i = 0; var cnt = 0
     while (i < s.length && cnt < n) {
       i += Character.charCount(s.codePointAt(i)); cnt += 1
@@ -241,7 +252,7 @@ object Canonicalize {
   }
 
   /** Reverse by CODE POINTS (Spark `reverse(c)` semantics). */
-  @inline private def reverseCp(s: String): String = {
+  @inline private[graft] def reverseCp(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = s.length
     while (i > 0) {

@@ -242,6 +242,41 @@ class KgStagesSpec extends SparkSuite {
     assert(viaDriver.size > 100)
   }
 
+  test("whole-stage hybrid: driver graph path == distributed on random corpora") {
+    import spark.implicits._
+    // seeded random surface universes (typos, transpositions, punctuation
+    // variants, concatenations, CJK) — the driver fast path and the full
+    // distributed path must agree beyond the pinned organic corpus
+    val rnd = new scala.util.Random(4242)
+    val bases = Seq("Senbonzakura", "World is Mine", "Ghost Rule",
+      "夜に駆ける", "Hollow Cathedral", "Neon Genesis Lament", "Melt",
+      "Kagamine Rin", "Kagamine Len", "Tavaszi Szél")
+    def perturb(w: String): String = rnd.nextInt(5) match {
+      case 0 => w + "!"
+      case 1 => w + "!!"
+      case 2 if w.length > 4 => // substitution typo
+        val i = 1 + rnd.nextInt(w.length - 2); w.updated(i, 'x')
+      case 3 if w.length > 4 => // adjacent transposition
+        val i = 1 + rnd.nextInt(w.length - 3)
+        w.substring(0, i) + w.charAt(i + 1) + w.charAt(i) + w.substring(i + 2)
+      case _ => w + " " + bases(rnd.nextInt(bases.size)) // concat bridge
+    }
+    (0 until 3).foreach { trial =>
+      val surfaces = bases ++ (0 until 30).map(_ => perturb(bases(rnd.nextInt(bases.size))))
+      val mentions = surfaces.zipWithIndex
+        .flatMap { case (sf, i) => Seq.fill(1 + i % 3)(("TITLE", sf)) }
+        .toDF("tag", "text")
+      def run(dmv: Long) = Canonicalize.canonicalMap(spark, mentions,
+          driverMaxVertices = dmv, driverMaxEdges = dmv)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+      val fast = run(200000L)
+      val distributed = run(0L)
+      assert(fast == distributed, s"trial $trial diverged")
+      assert(fast.size == surfaces.distinct.size)
+    }
+  }
+
   test("alias-edge hot-block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     // 300 surfaces sharing prefix+suffix ("xx...yy") -> one hot block pair;

@@ -153,6 +153,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("OSA distance: identity, symmetry, bounded by levenshtein, swap costs 1") {
+    import graft.operators.Canonicalize
+    val keyGen = Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.alphaLowerChar.map(_.toString),
+      1 -> Gen.oneOf("夜", "駆", "á"),
+      1 -> Gen.oneOf("🎵", "𝄞"))).map(_.mkString)
+    forAll2(keyGen, keyGen) { (a, b) =>
+      assert(Canonicalize.jvmOsa(a, a) == 0)
+      val d = Canonicalize.jvmOsa(a, b)
+      assert(d == Canonicalize.jvmOsa(b, a)) // symmetric
+      assert(d <= Canonicalize.jvmLev(a, b)) // transpositions only help
+      // lev counts a transposition as 2; OSA never saves more than half
+      assert(Canonicalize.jvmLev(a, b) <= 2 * d)
+    }
+    // swapping two adjacent DISTINCT code points costs exactly 1
+    forAll(keyGen.suchThat(_.nonEmpty)) { a =>
+      val cps = a.codePoints().toArray
+      val i = cps.length / 2
+      if (i + 1 < cps.length && cps(i) != cps(i + 1)) {
+        val swapped = cps.clone()
+        val t = swapped(i); swapped(i) = swapped(i + 1); swapped(i + 1) = t
+        val b = new String(swapped, 0, swapped.length)
+        assert(Canonicalize.jvmOsa(a, b) == 1, s"swap in '$a' -> '$b'")
+      }
+    }
+  }
+
   test("sortedJaccard merge == set-based jaccard on random long arrays") {
     // pin the UDF's merge against the obvious set formula (the DocDedup
     // verification path depends on this merge being exact)

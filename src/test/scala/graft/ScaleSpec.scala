@@ -222,6 +222,34 @@ class ScaleSpec extends SparkSuite {
       got.zip(cases).filter(p => p._1 != p._2._2).mkString("; "))
   }
 
+  test("driver graph-stage column twins == Spark expressions (incl. astral)") {
+    import spark.implicits._
+    import graft.operators.Canonicalize
+    // the whole-stage hybrid's correctness rests on normKeyJvm/substrCp/
+    // reverseCp reproducing the column fns the distributed path uses —
+    // pin them against the REAL Spark expressions on hostile strings
+    // (astral clefs/notes, combining marks, fullwidth, CJK, mixed case)
+    val rnd = new scala.util.Random(77L)
+    val pool = Array("a", "B", "z", "0", "9", "!", "-", " ", "夜", "駆",
+      "á", "Ő", "ß", "Σ", "σ", "ς", "🎵", "𝄞", "　", "ﾞ", "１", "Ｋ", ".")
+    val strings = (0 until 120).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } :+ "" :+ "🎵𝄞🎵" :+ "𝄞abc"
+    val df = strings.toDF("s").select(col("s"),
+      regexp_replace(lower(col("s")), "[^\\p{L}\\p{N}]", "").as("nk"),
+      substring(col("s"), 1, 2).as("sub2"),
+      reverse(col("s")).as("rev"))
+    df.collect().foreach { r =>
+      val in = r.getString(0)
+      assert(Canonicalize.normKeyJvm(in) == r.getString(1),
+        s"normKey twin diverged on '$in'")
+      assert(Canonicalize.substrCp(in, 2) == r.getString(2),
+        s"substr twin diverged on '$in'")
+      assert(Canonicalize.reverseCp(in) == r.getString(3),
+        s"reverse twin diverged on '$in'")
+    }
+  }
+
   test("streaming ingestion: same triples as batch, duplicates dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
