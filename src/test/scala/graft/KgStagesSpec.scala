@@ -277,6 +277,33 @@ class KgStagesSpec extends SparkSuite {
     }
   }
 
+  test("driver graph path runs O(1) Spark jobs, and handles an empty corpus") {
+    import spark.implicits._
+    val mentions = Seq(("TITLE", "Senbonzakura"), ("TITLE", "Senbonzakura!"),
+      ("TITLE", "Melt"), ("VOCALOID", "Hatsune Miku"))
+      .flatMap(Seq.fill(3)(_)).toDF("tag", "text")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = Canonicalize.canonicalMap(spark, mentions).collect()
+      Thread.sleep(500) // let the listener bus drain (private in Spark 4)
+      assert(rows.length == 4)
+      // the whole graph stage below surfaceForms is ONE collect: budget =
+      // localCheckpoint + count + collect + the final consumer collect
+      // (+1 slack for AQE). The old distributed chain ran ~12 jobs here;
+      // a regression reintroducing per-substage jobs must fail this.
+      assert(jobs <= 5, s"driver graph path ran $jobs jobs (expected <= 5)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // empty corpus flows through (Demo 0 path)
+    val empty = Seq.empty[(String, String)].toDF("tag", "text")
+    assert(Canonicalize.canonicalMap(spark, empty).collect().isEmpty)
+  }
+
   test("alias-edge hot-block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     // 300 surfaces sharing prefix+suffix ("xx...yy") -> one hot block pair;
