@@ -147,4 +147,115 @@ object Pipeline {
     }
     (triplesDf, nodesDf, edgesDf)
   }
+
+  /** Incremental KG maintenance: append batch `batchId` of NEW turns to a
+    * corpus whose earlier batches are already committed under `ckptRoot`,
+    * without re-extracting anything old (north rule: transcript corpora
+    * land append-only; at 100 TB a full re-run per drop is the cost to
+    * kill).
+    *
+    * What is incremental vs re-derived:
+    *
+    *  - The expensive NARROW stages (decode → mentions → link →
+    *    triples+coref — detection and tokenization dominate pipeline
+    *    cost) run over the new batch ONLY, committed as append-only
+    *    `*_b<i>` snapshots that are never rewritten.
+    *  - The graph stage's input is maintained as a running
+    *    `surface_forms_b<i>` aggregate: [[Canonicalize.surfaceForms]] is
+    *    distributive over corpus partitions, so the merged table
+    *    ([[Canonicalize.mergeForms]] of the previous snapshot with the
+    *    new batch's delta) equals the full-corpus aggregate with NO
+    *    rescan of old mentions. The canonical map and nodes then
+    *    recompute from forms — bounded by the alias universe, not the
+    *    corpus.
+    *  - Edges RE-DERIVE by one narrow zero-shuffle pass over the union
+    *    of the committed triple snapshots (three BroadcastHashJoins —
+    *    the plan ScaleSpec pins). Deliberate: a new alias can re-cluster
+    *    OLD surfaces onto different canonicals, so old edge rows are not
+    *    stable under append; the re-map pass is the cost of exactness
+    *    and is bounded by scan bandwidth (no detection, no decode, no
+    *    shuffle). A delta re-map (rewrite only edges touching changed
+    *    canonicals) is NOT implemented: its delete-set must be closed
+    *    under cross-tag surface sharing (`vocal_by` resolves min over
+    *    VOCALIST ∪ VOCALOID nodes), and an unclosed delete-set silently
+    *    drops or duplicates edges — the always-correct pass wins until a
+    *    workload shows the re-map pass dominating.
+    *
+    * CONTRACT: every batch carries WHOLE conversations — coref windows
+    * and conversation-scoped triples never span batches, which is what
+    * makes per-batch extraction equal to full-corpus extraction
+    * (KgStagesSpec pins incremental == full). `checkDisjointConvs=true`
+    * enforces it with an anti-join against prior batches' conv ids (one
+    * scan of committed snapshots; off by default — production layouts
+    * enforce it upstream).
+    *
+    * Resume: per-batch stage names mean a killed batch re-invoked with
+    * the same `batchId` skips its committed stages, exactly like
+    * [[runCheckpointed]]; `parentSnapshot` chains record the batch DAG.
+    * Returns (triplesAll, nodes, edges) read back from snapshots. */
+  def runIncremental(spark: SparkSession, newTurns: Dataset[Turn],
+      ckptRoot: String, batchId: Int,
+      checkDisjointConvs: Boolean = false): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import graft.sources.IcebergishTable.{stage, read, isCommitted}
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val prevForms = s"surface_forms_b${batchId - 1}"
+    require(batchId == 0 || isCommitted(ckptRoot, prevForms),
+      s"no committed $prevForms under $ckptRoot — batches commit in order")
+    if (checkDisjointConvs && batchId > 0) {
+      val prior = (0 until batchId)
+        .map(i => read(spark, ckptRoot, s"triples_b$i").select("conv_id"))
+        .reduce(_ unionByName _)
+      val overlap = newTurns.toDF().select("conv_id").distinct()
+        .join(prior, "conv_id").limit(1).count()
+      require(overlap == 0,
+        s"batch $batchId contains conversations already present in prior " +
+          "batches — increments must carry whole conversations")
+    }
+    val decodedDf = stage(spark, ckptRoot, s"decoded_b$batchId", "conv_id",
+      if (batchId == 0) "turns" else s"surface_forms_b${batchId - 1}") {
+      decodeTurns(spark, newTurns).toDF()
+    }
+    val decoded = decodedDf.as[DecodedTurn]
+    val mentionsDf = stage(spark, ckptRoot, s"mentions_b$batchId", "conv_id",
+      s"decoded_b$batchId") {
+      mentionsFromDecoded(spark, decoded, newTurns).toDF()
+    }
+    val linkedDf = stage(spark, ckptRoot, s"linked_b$batchId", "conv_id",
+      s"mentions_b$batchId") {
+      val dict = spark.sparkContext.broadcast(Linker.buildDict())
+      Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
+    }
+    val triplesDf = stage(spark, ckptRoot, s"triples_b$batchId", "conv_id",
+      s"linked_b$batchId") {
+      Triples.triples(spark, decoded).toDF()
+        .unionByName(Coref.triples(spark,
+          SkewSalting.corefSalted(spark, decoded, window = 5,
+            chunkSize = 10000)).toDF())
+    }
+    val formsDf = stage(spark, ckptRoot, s"surface_forms_b$batchId", "tag",
+      s"triples_b$batchId") {
+      val delta = Canonicalize.surfaceForms(linkedDf)
+      if (batchId == 0) delta
+      else Canonicalize.mergeForms(read(spark, ckptRoot, prevForms), delta)
+    }
+    val canonDf = stage(spark, ckptRoot, s"canon_map_b$batchId", "tag",
+      s"surface_forms_b$batchId") {
+      // formsDf is the committed snapshot re-read — already materialized
+      Canonicalize.canonicalMapFromForms(spark, formsDf)
+    }
+    val nodesDf = stage(spark, ckptRoot, s"nodes_b$batchId", "node_id",
+      s"canon_map_b$batchId") {
+      Canonicalize.nodes(spark, canonDf).toDF()
+    }
+    val triplesAll = (0 to batchId)
+      .map(i => read(spark, ckptRoot, s"triples_b$i"))
+      .reduce(_ unionByName _)
+    val edgesDf = stage(spark, ckptRoot, s"edges_b$batchId", "conv_id",
+      s"nodes_b$batchId") {
+      Canonicalize.edges(spark, triplesAll.as[Triple], canonDf).toDF()
+    }
+    (triplesAll, nodesDf, edgesDf)
+  }
 }

@@ -796,10 +796,38 @@ object SparkEntry {
       // meSubstitute by KgOracleDump (2000 convs pinned)
       Decode.mentions(s, decodedPrefix(s, 2000L)).toDF()
         .groupBy("tag").agg(count(lit(1)).as("n"))
+    }),
+    "q_kg_incremental_nodes" -> ((s, d) => {
+      // Incremental-maintenance VALUES gate: the pinned 300-conv mention
+      // stream is split into two batches (crc32 conv parity — any
+      // disjoint split must work), each batch aggregates its OWN
+      // surfaceForms, and the graph stage runs over the mergeForms
+      // result — the exact algebra Pipeline.runIncremental commits
+      // between batches. The output must equal the one-shot q_kg_nodes
+      // table, so it shares that gate's independently-minted VALUES
+      // oracle VERBATIM: any non-distributivity in the forms merge or
+      // divergence in canonicalMapFromForms flips a full value-level
+      // hash gate, not a rows-only count.
+      val mentions = Decode.mentions(s, decodedPrefix(s, 300L)).toDF()
+      val b0 = mentions.where(crc32(col("conv_id")) % 2 === 0)
+      val b1 = mentions.where(crc32(col("conv_id")) % 2 === 1)
+      val forms = Canonicalize.mergeForms(
+        Canonicalize.surfaceForms(b0),
+        Canonicalize.surfaceForms(b1)).localCheckpoint()
+      Canonicalize.nodes(s, Canonicalize.canonicalMapFromForms(s, forms))
+        .toDF()
+        .select(col("node_id"), col("canonical"), col("type"),
+          concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the incremental-algebra twin must reproduce the one-shot nodes
+    // table EXACTLY, so it shares q_kg_nodes' independently-minted
+    // VALUES oracle verbatim
+    ("q_kg_incremental_nodes" -> oracleSqlBase("q_kg_nodes"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -530,9 +530,33 @@ object Canonicalize {
   def canonicalMap(spark: SparkSession, mentions: DataFrame,
       maxCanopySize: Int = 100000,
       driverMaxVertices: Long = 200000L,
+      driverMaxEdges: Long = 2000000L): DataFrame =
+    canonicalMapFromForms(spark, surfaceForms(mentions).localCheckpoint(),
+      maxCanopySize, driverMaxVertices, driverMaxEdges)
+
+  /** Merge two surface-form aggregates by summing mention counts.
+    * `surfaceForms` is DISTRIBUTIVE over corpus partitions — this merge is
+    * what makes the graph stage incrementally maintainable: an appended
+    * batch contributes `surfaceForms(newMentions)` and the merged table is
+    * exactly `surfaceForms(old ∪ new)`, with no rescan of old mentions
+    * (KgStagesSpec pins the equality). */
+  def mergeForms(oldForms: DataFrame, deltaForms: DataFrame): DataFrame =
+    oldForms.unionByName(deltaForms)
+      .groupBy(col("tag"), col("surface"))
+      .agg(sum(col("n_mentions")).as("n_mentions"))
+
+  /** [[canonicalMap]] over an ALREADY-AGGREGATED surface-form table
+    * (tag, surface, n_mentions) — the entry point for incremental
+    * maintenance, where forms arrive pre-merged via [[mergeForms]] rather
+    * than re-aggregated from the full mention corpus. The forms plan is
+    * evaluated more than once (count + collect on the driver path; idf +
+    * join on the distributed path) — pass a materialized table (a
+    * checkpoint read or `localCheckpoint()`), as [[canonicalMap]] does. */
+  def canonicalMapFromForms(spark: SparkSession, forms: DataFrame,
+      maxCanopySize: Int = 100000,
+      driverMaxVertices: Long = 200000L,
       driverMaxEdges: Long = 2000000L): DataFrame = {
     import spark.implicits._
-    val forms = surfaceForms(mentions).localCheckpoint()
     // WHOLE-STAGE HYBRID (the CC hybrid's argument, applied to the full
     // graph stage): everything below surfaceForms — char idf, blocked
     // candidate pairs, connected components, canopy refinement — is a

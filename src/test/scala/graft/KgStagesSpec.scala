@@ -346,6 +346,75 @@ class KgStagesSpec extends SparkSuite {
       manifest.contains("key_min") && manifest.contains("parent_snapshot"))
   }
 
+  test("incremental maintenance == full recompute (2 appended batches)") {
+    import spark.implicits._
+    // split a corpus on the CONVERSATION boundary (the documented batch
+    // contract) and verify that batch-wise runIncremental reproduces the
+    // one-shot runCheckpointed output EXACTLY: triples, nodes and edges.
+    // This pins the two load-bearing claims: surfaceForms is distributive
+    // under mergeForms, and the edge re-map over unioned triple snapshots
+    // equals edges over the full corpus.
+    val turns = TranscriptGen.generate(spark, 40L).persist()
+    val convs = turns.select("conv_id").distinct()
+      .as[String].collect().sorted
+    val cut = convs(convs.length / 2)
+    val batch0 = turns.filter(col("conv_id") < cut)
+    val batch1 = turns.filter(col("conv_id") >= cut)
+    assert(batch0.count() > 0 && batch1.count() > 0)
+
+    val fullRoot = Files.createTempDirectory("inc_full").toString
+    val incRoot = Files.createTempDirectory("inc_inc").toString
+    val (ft, fn, fe) = Pipeline.runCheckpointed(spark, turns, fullRoot)
+    Pipeline.runIncremental(spark, batch0, incRoot, batchId = 0)
+    val (it, in, ie) = Pipeline.runIncremental(spark, batch1, incRoot,
+      batchId = 1, checkDisjointConvs = true)
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(it) == sortedRows(ft), "triples diverged")
+    assert(sortedRows(in) == sortedRows(fn), "nodes diverged")
+    assert(sortedRows(ie) == sortedRows(fe), "edges diverged")
+    assert(fn.count() > 0 && fe.count() > 0)
+
+    // the running surface_forms aggregate equals the full-corpus aggregate
+    // (distributivity, the property the whole design rests on)
+    val formsInc = graft.sources.IcebergishTable
+      .read(spark, incRoot, "surface_forms_b1")
+    val formsFull = Canonicalize.surfaceForms(
+      graft.sources.IcebergishTable.read(spark, fullRoot, "linked"))
+    assert(sortedRows(formsInc) == sortedRows(formsFull), "forms diverged")
+    turns.unpersist()
+  }
+
+  test("incremental batches: resume skips committed stages; guards fire") {
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, 12L).persist()
+    val root = Files.createTempDirectory("inc_resume").toString
+    val (t1, n1, e1) = Pipeline.runIncremental(spark, turns, root, batchId = 0)
+    val (nodes1, edges1) = (n1.collect().map(_.toString).sorted.toSeq,
+      e1.collect().map(_.toString).sorted.toSeq)
+    assert(t1.count() > 0 && nodes1.nonEmpty)
+    // kill+restart mid-batch: drop the LAST stage's manifest, re-invoke —
+    // committed prefix stages are reused, only edges_b0 recomputes
+    Files.deleteIfExists(java.nio.file.Paths.get(
+      graft.sources.IcebergishTable.manifestPath(root, "edges_b0")))
+    val (_, n2, e2) = Pipeline.runIncremental(spark, turns, root, batchId = 0)
+    assert(n2.collect().map(_.toString).sorted.toSeq == nodes1)
+    assert(e2.collect().map(_.toString).sorted.toSeq == edges1)
+    // out-of-order batch: b2 without a committed b1 must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, turns, root, batchId = 2)
+    }
+    assert(ex.getMessage.contains("surface_forms_b1"))
+    // overlapping conversations: the whole-conversation contract guard
+    val ex2 = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, turns, root, batchId = 1,
+        checkDisjointConvs = true)
+    }
+    assert(ex2.getMessage.contains("whole conversations"))
+    turns.unpersist()
+  }
+
   test("FULL pipeline (incl. canonicalization) deterministic under partitioning") {
     import spark.implicits._
     val turns = TranscriptGen.generate(spark, 25L)
