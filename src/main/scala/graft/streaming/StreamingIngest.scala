@@ -95,4 +95,49 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Maintain the FULL KG (per-batch triple snapshots + current
+    * nodes/edges) under `kgRoot` from a stream of turns: `foreachBatch`
+    * hands each micro-batch to [[graft.Pipeline.runIncremental]] with
+    * Spark's own batch id. The two checkpoint layers COMPOSE into
+    * end-to-end idempotency: Structured Streaming replays a failed batch
+    * with the SAME id, and runIncremental's per-batch Icebergish
+    * snapshots make the replay skip every stage the first attempt
+    * committed (same resume semantics KgStagesSpec pins for the batch
+    * path).
+    *
+    * Every batch is processed — including empty ones (they commit empty
+    * per-batch snapshots and re-commit unchanged aggregates), keeping
+    * the batch-id chain contiguous for runIncremental's in-order
+    * requirement. The per-batch edge re-derivation scans the unioned
+    * triple snapshots (see runIncremental's Scaladoc for why edges are
+    * not append-stable), so size micro-batches in minutes, not
+    * milliseconds — this is an incremental-MAINTENANCE sink, not a
+    * low-latency one; use [[startParquetSink]] for latency-sensitive
+    * triple feeds and run maintenance on a trigger interval.
+    *
+    * CONTRACT (inherited from runIncremental): a micro-batch carries
+    * WHOLE conversations — the upstream emits a conversation's turns
+    * only once it is closed (the reference's serving analog: transcripts
+    * are POSTed complete, src/prod.py:220-227). Dedup/watermarking of
+    * raw turns belongs upstream of this sink for the same reason. */
+  def startIncrementalKgSink(turns: Dataset[Turn], kgRoot: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    turns.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        // the batch Dataset is re-evaluated by each action inside
+        // runIncremental — persist once so the source is read once
+        batch.persist()
+        try {
+          graft.Pipeline.runIncremental(batch.sparkSession, batch, kgRoot,
+            batchId.toInt)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
 }

@@ -120,4 +120,39 @@ class StatefulSpec extends SparkSuite {
     assert(links.head.getAs[String]("antecedent") == "Melt")
     assert(links.head.getAs[Int]("turn_idx") == 1)
   }
+
+  test("incremental KG sink: streamed micro-batches == one-shot batch run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // two micro-batches of WHOLE conversations (the sink's contract),
+    // maintained through foreachBatch -> runIncremental; the final
+    // nodes/edges snapshots must equal the one-shot batch pipeline's
+    val turns = graft.synth.TranscriptGen.generate(spark, 24L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val cut = convs(convs.length / 2)
+    val b0 = turns.filter(col("conv_id") < cut).collect()
+    val b1 = turns.filter(col("conv_id") >= cut).collect()
+    assert(b0.nonEmpty && b1.nonEmpty)
+
+    val kgRoot = java.nio.file.Files.createTempDirectory("kg_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kg_sink_ck").toString
+    val mem = MemoryStream[Turn]
+    val q = graft.streaming.StreamingIngest
+      .startIncrementalKgSink(mem.toDS(), kgRoot, ckpt)
+    mem.addData(b0.toSeq: _*); q.processAllAvailable()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val fullRoot = java.nio.file.Files.createTempDirectory("kg_full").toString
+    val (_, fn, fe) = Pipeline.runCheckpointed(spark, turns, fullRoot)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val nodesInc = graft.sources.IcebergishTable.read(spark, kgRoot, "nodes_b1")
+    val edgesInc = graft.sources.IcebergishTable.read(spark, kgRoot, "edges_b1")
+    assert(sortedRows(nodesInc) == sortedRows(fn), "streamed nodes diverged")
+    assert(sortedRows(edgesInc) == sortedRows(fe), "streamed edges diverged")
+    assert(fn.count() > 0 && fe.count() > 0)
+    turns.unpersist()
+  }
 }
