@@ -204,9 +204,8 @@ object Pipeline {
     require(batchId == 0 || isCommitted(ckptRoot, prevForms),
       s"no committed $prevForms under $ckptRoot — batches commit in order")
     if (checkDisjointConvs && batchId > 0) {
-      val prior = (0 until batchId)
-        .map(i => read(spark, ckptRoot, s"triples_b$i").select("conv_id"))
-        .reduce(_ unionByName _)
+      val prior = readTriplesUpTo(spark, ckptRoot, batchId - 1)
+        .select("conv_id")
       val overlap = newTurns.toDF().select("conv_id").distinct()
         .join(prior, "conv_id").limit(1).count()
       require(overlap == 0,
@@ -249,13 +248,76 @@ object Pipeline {
       s"canon_map_b$batchId") {
       Canonicalize.nodes(spark, canonDf).toDF()
     }
-    val triplesAll = (0 to batchId)
-      .map(i => read(spark, ckptRoot, s"triples_b$i"))
-      .reduce(_ unionByName _)
+    val triplesAll = readTriplesUpTo(spark, ckptRoot, batchId)
     val edgesDf = stage(spark, ckptRoot, s"edges_b$batchId", "conv_id",
       s"nodes_b$batchId") {
       Canonicalize.edges(spark, triplesAll.as[Triple], canonDf).toDF()
     }
     (triplesAll, nodesDf, edgesDf)
+  }
+
+  /** Largest committed compaction generation under `root`, or -1. */
+  private def latestCompaction(root: String, upTo: Int): Int =
+    (0 to upTo).reverse.find(g =>
+      graft.sources.IcebergishTable.isCommitted(root, s"triples_compact_$g"))
+      .getOrElse(-1)
+
+  /** The triple corpus through batch `batchId`: the LARGEST committed
+    * `triples_compact_<g>` (g <= batchId) plus every `triples_b<i>` with
+    * g < i <= batchId. Superseded per-batch snapshots are ignored even if
+    * their manifests still exist — so [[compactTriples]]' garbage
+    * collection is exactly that, garbage collection, and a crash between
+    * its commit and its GC changes nothing the reader sees. */
+  def readTriplesUpTo(spark: SparkSession, root: String,
+      batchId: Int): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IcebergishTable.read
+    val g = latestCompaction(root, batchId)
+    val base =
+      if (g >= 0) Seq(read(spark, root, s"triples_compact_$g")) else Seq.empty
+    (base ++ ((g + 1) to batchId).map(i => read(spark, root, s"triples_b$i")))
+      .reduce(_ unionByName _)
+  }
+
+  /** Small-file compaction for the append-only triple snapshots (the
+    * operational cost of incremental maintenance: after 10^3 batches the
+    * corpus is 10^3 snapshot directories of mostly-small files, and every
+    * edge re-derivation plans 10^3 scans). Rewrites the corpus through
+    * batch `upToBatch` as ONE snapshot — `triples_compact_<upToBatch>` —
+    * then garbage-collects the superseded manifests (earlier compactions
+    * and per-batch snapshots).
+    *
+    * Crash-safe by ORDERING, not by locking: the compacted snapshot
+    * commits first (write-temp + atomic manifest rename, like any stage);
+    * only then are superseded manifests deleted. [[readTriplesUpTo]]
+    * prefers the largest committed generation, so a crash anywhere in the
+    * GC phase leaves a corpus that reads identically — re-running the
+    * compaction just finishes the GC. Data directories of superseded
+    * snapshots are left for out-of-band removal (deleting the manifest
+    * already makes them invisible; physical deletes are the one
+    * non-idempotent step, so they stay out of the commit path). */
+  def compactTriples(spark: SparkSession, root: String,
+      upToBatch: Int): Unit = {
+    import graft.sources.IcebergishTable
+    require(upToBatch >= 0)
+    val g = latestCompaction(root, upToBatch)
+    require(g == upToBatch ||
+      ((g + 1) to upToBatch).forall(i =>
+        IcebergishTable.isCommitted(root, s"triples_b$i")),
+      s"cannot compact through batch $upToBatch: missing committed " +
+        s"triples_b<i> snapshots after generation $g")
+    if (g < upToBatch) {
+      val merged = readTriplesUpTo(spark, root, upToBatch)
+      IcebergishTable.commit(spark, merged, root,
+        s"triples_compact_$upToBatch", "conv_id",
+        parentSnapshot =
+          if (g >= 0) s"triples_compact_$g" else "triples_b0")
+    }
+    // GC: superseded manifests only (see Scaladoc); idempotent
+    val gcNames = (0 until upToBatch).map(i => s"triples_compact_$i") ++
+      (0 to upToBatch).map(i => s"triples_b$i")
+    gcNames.foreach { s =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(IcebergishTable.manifestPath(root, s)))
+    }
   }
 }

@@ -415,6 +415,47 @@ class KgStagesSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("triple-snapshot compaction: corpus identical, later batches read through it") {
+    import spark.implicits._
+    import graft.sources.IcebergishTable
+    val turns = TranscriptGen.generate(spark, 30L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val (c1, c2) = (convs(convs.length / 3), convs(2 * convs.length / 3))
+    val b0 = turns.filter(col("conv_id") < c1)
+    val b1 = turns.filter(col("conv_id") >= c1 && col("conv_id") < c2)
+    val b2 = turns.filter(col("conv_id") >= c2)
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // root A: three batches, never compacted
+    val a = Files.createTempDirectory("cmp_a").toString
+    Pipeline.runIncremental(spark, b0, a, 0)
+    Pipeline.runIncremental(spark, b1, a, 1)
+    val (ta, na, ea) = Pipeline.runIncremental(spark, b2, a, 2)
+    // root B: compaction between batches 1 and 2 — batch 2 must read
+    // compact_1 ∪ b2 and produce the identical KG
+    val b = Files.createTempDirectory("cmp_b").toString
+    Pipeline.runIncremental(spark, b0, b, 0)
+    Pipeline.runIncremental(spark, b1, b, 1)
+    Pipeline.compactTriples(spark, b, 1)
+    assert(IcebergishTable.isCommitted(b, "triples_compact_1"))
+    assert(!IcebergishTable.isCommitted(b, "triples_b0") &&
+      !IcebergishTable.isCommitted(b, "triples_b1"), "GC left manifests")
+    val (tb, nb, eb) = Pipeline.runIncremental(spark, b2, b, 2,
+      checkDisjointConvs = true)
+    assert(sortedRows(tb) == sortedRows(ta), "triples diverged")
+    assert(sortedRows(nb) == sortedRows(na), "nodes diverged")
+    assert(sortedRows(eb) == sortedRows(ea), "edges diverged")
+    // compact-of-compact (generation 2 subsumes compact_1 ∪ b2), and
+    // idempotent re-run (pure GC the second time)
+    Pipeline.compactTriples(spark, b, 2)
+    Pipeline.compactTriples(spark, b, 2)
+    assert(IcebergishTable.isCommitted(b, "triples_compact_2") &&
+      !IcebergishTable.isCommitted(b, "triples_compact_1"))
+    assert(sortedRows(Pipeline.readTriplesUpTo(spark, b, 2)) == sortedRows(ta))
+    turns.unpersist()
+  }
+
   test("FULL pipeline (incl. canonicalization) deterministic under partitioning") {
     import spark.implicits._
     val turns = TranscriptGen.generate(spark, 25L)
