@@ -320,4 +320,41 @@ object Pipeline {
         java.nio.file.Paths.get(IcebergishTable.manifestPath(root, s)))
     }
   }
+
+  /** Garbage-collect per-batch artifacts that nothing reads once batch
+    * `completedBatch` has committed: the narrow intermediates of every
+    * batch through it (decoded/mentions/linked — only intra-batch resume
+    * ever reads them) and the SUPERSEDED graph-stage generations
+    * (surface_forms/canon_map/nodes/edges of batches before it — the
+    * running aggregate chain only ever reads the latest). The current
+    * batch's forms/canon/nodes/edges stay: `runIncremental(completedBatch
+    * + 1)` reads `surface_forms_b<completedBatch>`, and nodes/edges ARE
+    * the current output. Manifest deletes only, same rationale as
+    * [[compactTriples]]' GC phase — idempotent, and data directories are
+    * out-of-band. Triples snapshots are NOT touched here; they remain
+    * readable history until [[compactTriples]] folds them.
+    *
+    * Tradeoff made explicit: a STREAMING REPLAY of an already-complete
+    * batch (checkpoint lost the offset commit after foreachBatch
+    * succeeded) would have skipped every stage via these manifests; after
+    * GC it re-pays the batch's decode. GC trades that rare replay cost
+    * for not accumulating one manifest set per batch forever — run it a
+    * few batches behind the head if replays matter. */
+  def gcBatchArtifacts(root: String, completedBatch: Int): Unit = {
+    import graft.sources.IcebergishTable
+    require(completedBatch >= 0)
+    require(IcebergishTable.isCommitted(root, s"edges_b$completedBatch"),
+      s"batch $completedBatch has not committed its edges snapshot — " +
+        "GC only runs behind a completed batch")
+    val names =
+      (0 to completedBatch).flatMap(i =>
+        Seq(s"decoded_b$i", s"mentions_b$i", s"linked_b$i")) ++
+      (0 until completedBatch).flatMap(i =>
+        Seq(s"surface_forms_b$i", s"canon_map_b$i", s"nodes_b$i",
+          s"edges_b$i"))
+    names.foreach { s =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(IcebergishTable.manifestPath(root, s)))
+    }
+  }
 }

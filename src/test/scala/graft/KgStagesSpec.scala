@@ -453,6 +453,22 @@ class KgStagesSpec extends SparkSuite {
     assert(IcebergishTable.isCommitted(b, "triples_compact_2") &&
       !IcebergishTable.isCommitted(b, "triples_compact_1"))
     assert(sortedRows(Pipeline.readTriplesUpTo(spark, b, 2)) == sortedRows(ta))
+    // artifact GC behind the completed head: narrow intermediates and
+    // superseded graph generations go; the live chain stays readable
+    Pipeline.gcBatchArtifacts(b, 2)
+    for (i <- 0 to 2; s <- Seq(s"decoded_b$i", s"mentions_b$i", s"linked_b$i"))
+      assert(!IcebergishTable.isCommitted(b, s), s"$s not GC'd")
+    for (i <- 0 to 1; s <- Seq(s"surface_forms_b$i", s"nodes_b$i", s"edges_b$i"))
+      assert(!IcebergishTable.isCommitted(b, s), s"$s not GC'd")
+    assert(IcebergishTable.isCommitted(b, "surface_forms_b2") &&
+      IcebergishTable.isCommitted(b, "nodes_b2") &&
+      IcebergishTable.isCommitted(b, "edges_b2"), "live chain GC'd")
+    assert(sortedRows(IcebergishTable.read(spark, b, "nodes_b2")) ==
+      sortedRows(na))
+    // GC must refuse to run ahead of a completed batch
+    intercept[IllegalArgumentException] {
+      Pipeline.gcBatchArtifacts(b, 3)
+    }
     turns.unpersist()
   }
 
