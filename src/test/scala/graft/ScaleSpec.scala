@@ -129,6 +129,37 @@ class ScaleSpec extends SparkSuite {
       s"triples side must not shuffle:\n$plan")
   }
 
+  test("incremental edge re-map over UNIONED snapshots keeps the no-shuffle plan") {
+    import spark.implicits._
+    import graft.operators.{Canonicalize, Triples}
+    // the runIncremental edge stage reads a UNION of per-batch parquet
+    // snapshots — the union must stay on the narrow side (parquet scans
+    // concatenate; no exchange is needed to union), so the re-map pass
+    // keeps the exact plan shape the single-snapshot path pins above
+    val turns = TranscriptGen.generate(spark, 20L)
+    val decoded = Pipeline.decodeTurns(spark, turns)
+    val dir = java.nio.file.Files.createTempDirectory("edges_union").toString
+    val t = Triples.triples(spark, decoded).toDF()
+    t.where(col("turn_idx") % 2 === 0).write.parquet(s"$dir/b0")
+    t.where(col("turn_idx") % 2 === 1).write.parquet(s"$dir/b1")
+    val unioned = spark.read.parquet(s"$dir/b0")
+      .unionByName(spark.read.parquet(s"$dir/b1"))
+    val canon = Canonicalize.canonicalMap(spark,
+      graft.operators.Decode.mentions(spark, decoded).toDF()).localCheckpoint()
+    val e = Canonicalize.edges(spark,
+      unioned.as[Schemas.Triple], canon)
+    e.collect()
+    val plan = e.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"unioned-snapshot re-map must broadcast the maps:\n$plan")
+    // same criterion as the single-snapshot pin above: a shuffle-side
+    // join anywhere would mean the triple stream re-partitioned (the
+    // broadcast subtrees legitimately contain their own exchanges)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"unioned triple snapshots must not shuffle:\n$plan")
+  }
+
   test("top-K plans TakeOrderedAndProject; ranked queries carry no global window") {
     import graft.operators.TopK
     val rev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
