@@ -797,6 +797,35 @@ object SparkEntry {
       Decode.mentions(s, decodedPrefix(s, 2000L)).toDF()
         .groupBy("tag").agg(count(lit(1)).as("n"))
     }),
+    "q_kg_incremental_edges" -> ((s, d) => {
+      // Incremental edge-re-map VALUES gate, companion to
+      // q_kg_incremental_nodes: the canonical map comes from MERGED
+      // per-batch surface forms and the triple corpus from a UNION of
+      // two disjoint halves — exactly what runIncremental reads after
+      // two batches — and the per-pred digest must equal the one-shot
+      // q_kg_edges VALUES verbatim (same independently-minted oracle).
+      val mentions = Decode.mentions(s, decodedPrefix(s, 300L)).toDF()
+      val forms = Canonicalize.mergeForms(
+        Canonicalize.surfaceForms(
+          mentions.where(crc32(col("conv_id")) % 2 === 0)),
+        Canonicalize.surfaceForms(
+          mentions.where(crc32(col("conv_id")) % 2 === 1)))
+        .localCheckpoint()
+      val canonMap = Canonicalize.canonicalMapFromForms(s, forms)
+      val t = Triples.triples(s, decodedPrefix(s, 300L)).toDF()
+      val unioned = t.where(crc32(col("conv_id")) % 2 === 0)
+        .unionByName(t.where(crc32(col("conv_id")) % 2 === 1))
+      import s.implicits._
+      Canonicalize.edges(s, unioned.as[graft.Schemas.Triple], canonMap)
+        .toDF()
+        .select(col("pred"), col("src_id"), col("dst_id"),
+          conv(substring(md5(concat_ws("\u0001", col("src_id"), col("pred"),
+            col("dst_id"), col("conv_id"), col("turn_idx").cast("string"))),
+            1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"), countDistinct("src_id").as("n_src"),
+          countDistinct("dst_id").as("n_dst"), sum("h").as("hashsum"))
+    }),
     "q_kg_incremental_nodes" -> ((s, d) => {
       // Incremental-maintenance VALUES gate: the pinned 300-conv mention
       // stream is split into two batches (crc32 conv parity — any
@@ -822,10 +851,12 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase +
-    // the incremental-algebra twin must reproduce the one-shot nodes
-    // table EXACTLY, so it shares q_kg_nodes' independently-minted
-    // VALUES oracle verbatim
-    ("q_kg_incremental_nodes" -> oracleSqlBase("q_kg_nodes"))
+    // the incremental-algebra twins must reproduce the one-shot nodes
+    // table and per-pred edge digest EXACTLY, so they share the
+    // q_kg_nodes / q_kg_edges independently-minted VALUES oracles
+    // verbatim
+    ("q_kg_incremental_nodes" -> oracleSqlBase("q_kg_nodes")) +
+    ("q_kg_incremental_edges" -> oracleSqlBase("q_kg_edges"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_agg_pricing" ->
