@@ -162,4 +162,30 @@ object IcebergishTable {
       commit(spark, compute, root, stageName, keyCol, parent)
     read(spark, root, stageName)
   }
+
+  /** Physical-delete companion to the manifest-level GC in
+    * `Pipeline.compactTriples`/`gcBatchArtifacts` (both delete only
+    * manifests — the idempotent, crash-safe step — and leave data
+    * directories "for out-of-band removal": this is that removal).
+    * Deletes every stage directory under `root` that has data but NO
+    * committed manifest, and returns the deleted stage names.
+    *
+    * MUST only run while no writer is active on `root` (the standard
+    * expire-snapshots caveat): a stage mid-write has data and no manifest
+    * yet, indistinguishable from GC'd garbage. Readers are safe — they
+    * only ever open directories their committed manifest names. */
+  def vacuum(root: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val stages = Files.list(rootPath).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    val dead = stages.filter(d => !isCommitted(root, d.getFileName.toString))
+    dead.foreach { d =>
+      Files.walk(d).iterator().asScala.toSeq
+        .sortBy(_.getNameCount)(Ordering.Int.reverse) // children first
+        .foreach(Files.deleteIfExists(_))
+    }
+    dead.map(_.getFileName.toString).sorted
+  }
 }

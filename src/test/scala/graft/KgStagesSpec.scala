@@ -469,6 +469,17 @@ class KgStagesSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Pipeline.gcBatchArtifacts(b, 3)
     }
+    // vacuum: physical removal of everything the manifest GC orphaned;
+    // the live chain survives and reads identically
+    val vacuumed = IcebergishTable.vacuum(b)
+    assert(vacuumed.contains("decoded_b0") && vacuumed.contains("triples_b1")
+      && vacuumed.contains("nodes_b0"), s"vacuumed=$vacuumed")
+    assert(!vacuumed.contains("triples_compact_2") &&
+      !vacuumed.contains("nodes_b2") && !vacuumed.contains("surface_forms_b2"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(b, "decoded_b0")))
+    assert(sortedRows(Pipeline.readTriplesUpTo(spark, b, 2)) == sortedRows(ta))
+    assert(sortedRows(IcebergishTable.read(spark, b, "nodes_b2")) ==
+      sortedRows(na))
     turns.unpersist()
   }
 

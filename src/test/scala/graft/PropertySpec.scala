@@ -221,4 +221,35 @@ class PropertySpec extends AnyFunSuite {
     val sh2 = sig(base + " and then some more text")
     sh.zip(sh2).foreach { case (a, b) => assert(b <= a) }
   }
+
+  test("surfaceForms is distributive: k-way RANDOM row splits merge to the full aggregate") {
+    // the incremental design's load-bearing algebra — and a stronger
+    // claim than the conversation-split equality in KgStagesSpec: rows
+    // are split arbitrarily (a surface's mentions scattered over ALL
+    // parts), and folding mergeForms over per-part aggregates must
+    // reproduce the one-shot aggregate exactly
+    import org.apache.spark.sql.functions.{col, pmod, crc32, concat_ws, lit}
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val tags = Array("TITLE", "VOCALOID", "ORIGINAL_AUTHOR")
+    val surfaces = Array("Melt", "melt", "Senbonzakura", "夜に駆ける",
+      "DECO*27", "Hatsune Miku", "  padded  ", "🎵 clef")
+    val rows = (0 until 3000).map { i =>
+      (tags(rnd.nextInt(tags.length)), surfaces(rnd.nextInt(surfaces.length)), i)
+    }
+    val mentions = rows.toDF("tag", "text", "i")
+    val full = graft.operators.Canonicalize.surfaceForms(mentions)
+      .collect().map(_.toString).sorted.toSeq
+    for (k <- Seq(2, 5)) {
+      val parts = (0 until k).map(p => mentions.where(
+        pmod(crc32(concat_ws("#", col("i").cast("string"), lit(k))), lit(k)) === p))
+      // every row lands in exactly one part
+      assert(parts.map(_.count()).sum == 3000)
+      val merged = parts.map(graft.operators.Canonicalize.surfaceForms)
+        .reduce(graft.operators.Canonicalize.mergeForms)
+        .collect().map(_.toString).sorted.toSeq
+      assert(merged == full, s"k=$k merge diverged")
+    }
+  }
 }
