@@ -185,9 +185,9 @@ object Pipeline {
     * and conversation-scoped triples never span batches, which is what
     * makes per-batch extraction equal to full-corpus extraction
     * (KgStagesSpec pins incremental == full). `checkDisjointConvs=true`
-    * enforces it with an anti-join against prior batches' conv ids (one
-    * scan of committed snapshots; off by default — production layouts
-    * enforce it upstream).
+    * enforces it with a join against the prior batches' `convs_b<i>`
+    * registries (one scan of tiny one-column snapshots; off by default —
+    * production layouts enforce it upstream).
     *
     * Resume: per-batch stage names mean a killed batch re-invoked with
     * the same `batchId` skips its committed stages, exactly like
@@ -201,16 +201,37 @@ object Pipeline {
     import graft.sources.IcebergishTable.{stage, read, isCommitted}
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val prevForms = s"surface_forms_b${batchId - 1}"
-    require(batchId == 0 || isCommitted(ckptRoot, prevForms),
+    // Ordering holds if the PREVIOUS batch's forms chain is committed —
+    // or if THIS batch already completed its own forms snapshot: a
+    // streaming replay of a finished batch after [[gcBatchArtifacts]]
+    // deleted the superseded prev-forms manifest must skip through, not
+    // crash-loop (the replay re-pays decode, as that GC documents, and
+    // every still-committed stage is skipped by its manifest).
+    require(batchId == 0 || isCommitted(ckptRoot, prevForms) ||
+        isCommitted(ckptRoot, s"surface_forms_b$batchId"),
       s"no committed $prevForms under $ckptRoot — batches commit in order")
     if (checkDisjointConvs && batchId > 0) {
-      val prior = readTriplesUpTo(spark, ckptRoot, batchId - 1)
-        .select("conv_id")
+      // The registry of prior conv ids comes from the convs_b<i>
+      // snapshots, NOT from prior triples: a conversation can yield
+      // mentions but no triples, and the guard must still see it (a
+      // re-delivery would double-count its mentions in surface_forms).
+      // The registries are one tiny column per batch, never compacted
+      // or GC'd, so this read also works below a compaction generation.
+      val prior = (0 until batchId)
+        .map(i => read(spark, ckptRoot, s"convs_b$i"))
+        .reduce(_ unionByName _)
       val overlap = newTurns.toDF().select("conv_id").distinct()
         .join(prior, "conv_id").limit(1).count()
       require(overlap == 0,
         s"batch $batchId contains conversations already present in prior " +
           "batches — increments must carry whole conversations")
+    }
+    // Conv-id registry for the disjointness guard (committed FIRST so a
+    // batch that dies mid-extraction is still visible to later guards;
+    // a replayed batch skips it via its manifest like any stage).
+    stage(spark, ckptRoot, s"convs_b$batchId", "conv_id",
+      if (batchId == 0) "turns" else s"convs_b${batchId - 1}") {
+      newTurns.toDF().select("conv_id").distinct()
     }
     val decodedDf = stage(spark, ckptRoot, s"decoded_b$batchId", "conv_id",
       if (batchId == 0) "turns" else s"surface_forms_b${batchId - 1}") {
@@ -270,8 +291,37 @@ object Pipeline {
     * its commit and its GC changes nothing the reader sees. */
   def readTriplesUpTo(spark: SparkSession, root: String,
       batchId: Int): org.apache.spark.sql.DataFrame = {
-    import graft.sources.IcebergishTable.read
+    import graft.sources.IcebergishTable.{read, isCommitted}
     val g = latestCompaction(root, batchId)
+    // A compaction generation BEYOND batchId folds later batches in and
+    // cannot serve a prefix read; if it also superseded (GC'd) the
+    // per-batch snapshots this prefix needs, say so precisely instead of
+    // failing on the first missing snapshot. No current caller reads
+    // below the head (the disjointness guard uses the convs_b registry),
+    // so this is a contract error, not a recoverable state.
+    val missing = ((g + 1) to batchId)
+      .filter(i => !isCommitted(root, s"triples_b$i"))
+    if (missing.nonEmpty) {
+      val rootPath = java.nio.file.Paths.get(root)
+      val later =
+        if (!java.nio.file.Files.isDirectory(rootPath)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val names = java.nio.file.Files.list(rootPath)
+          try names.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("triples_compact_") =>
+              s.stripPrefix("triples_compact_").toIntOption }
+            .flatten.filter(i => i > batchId && isCommitted(root,
+              s"triples_compact_$i")).maxOption
+          finally names.close()
+        }
+      require(later.isEmpty,
+        s"triples through batch $batchId were folded into " +
+          s"triples_compact_${later.getOrElse(-1)} and their per-batch " +
+          "snapshots GC'd — prefix reads below a compaction generation " +
+          "are unavailable by design (compact folds whole history)")
+    }
     val base =
       if (g >= 0) Seq(read(spark, root, s"triples_compact_$g")) else Seq.empty
     (base ++ ((g + 1) to batchId).map(i => read(spark, root, s"triples_b$i")))
@@ -337,9 +387,14 @@ object Pipeline {
     * Tradeoff made explicit: a STREAMING REPLAY of an already-complete
     * batch (checkpoint lost the offset commit after foreachBatch
     * succeeded) would have skipped every stage via these manifests; after
-    * GC it re-pays the batch's decode. GC trades that rare replay cost
-    * for not accumulating one manifest set per batch forever — run it a
-    * few batches behind the head if replays matter. */
+    * GC it re-pays the batch's decode (the ordering require in
+    * [[runIncremental]] accepts a batch whose own forms snapshot is
+    * committed, so the replay proceeds rather than tripping on the
+    * GC'd prev-forms manifest — KgStagesSpec pins it). GC trades that
+    * rare replay cost for not accumulating one manifest set per batch
+    * forever — run it a few batches behind the head if replays matter.
+    * The convs_b registries are never GC'd: the disjointness guard
+    * must see every prior conversation forever. */
   def gcBatchArtifacts(root: String, completedBatch: Int): Unit = {
     import graft.sources.IcebergishTable
     require(completedBatch >= 0)

@@ -297,6 +297,26 @@ object Canonicalize {
     }
   }
 
+  /** Order-preserving map over a bounded thread pool — the driver fast
+    * path's analog of executor fan-out (same rationale as the footer pool
+    * in [[graft.sources.IcebergishTable.commit]]): `f` must be pure; the
+    * result sequence is in input order, so determinism is the caller's
+    * input order, not scheduling order. */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(Runtime.getRuntime.availableProcessors, xs.size)))
+    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(x)
+      })).map { fut =>
+        try fut.get()
+        catch { // surface f's own exception, not the wrapper
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    finally pool.shutdown()
+  }
+
   /** Distinct surface forms with mention counts: (tag, surface, n). */
   def surfaceForms(mentions: DataFrame): DataFrame =
     mentions.groupBy(col("tag"), col("text").as("surface"))
@@ -606,27 +626,36 @@ object Canonicalize {
         r
       }
       val maxBlockSize = 1000 // aliasEdges' default hot-block guard
-      withNk.flatMap(f => Seq(
+      val blocks = withNk.flatMap(f => Seq(
           ("p:" + f._1 + ":" + substrCp(f._4, 2)) -> f,
           ("s:" + f._1 + ":" + substrCp(reverseCp(f._4), 2)) -> f))
         .groupBy(_._1).valuesIterator
-        .filter(_.length <= maxBlockSize)
-        .foreach { es =>
-          var i = 0
-          while (i < es.length) {
-            var j = i + 1
-            while (j < es.length) {
-              val (a, b) = (es(i)._2, es(j)._2)
-              if (a._2 != b._2 &&
-                (jvmLev(a._4, b._4) <= 3 || tfidfCosine(a._4, b._4, idf) > 0.5)) {
-                val (ra, rb) = (find(key(a)), find(key(b)))
-                if (ra != rb) parent.put(rb, ra)
-              }
-              j += 1
-            }
-            i += 1
+        .filter(_.length <= maxBlockSize).toSeq
+      // Pair DISCOVERY — the O(Σ m²) Levenshtein/cosine work and the only
+      // non-trivial compute on this path — fans out per block over
+      // [[parMap]]'s bounded pool; only the UNION step stays serial. The
+      // same edge set yields the same components whatever the discovery
+      // order, so parallelism cannot change the result (and the driver==
+      // distributed equality specs pin it).
+      parMap(blocks) { es =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var i = 0
+        while (i < es.length) {
+          var j = i + 1
+          while (j < es.length) {
+            val (a, b) = (es(i)._2, es(j)._2)
+            if (a._2 != b._2 &&
+              (jvmLev(a._4, b._4) <= 3 || tfidfCosine(a._4, b._4, idf) > 0.5))
+              out += ((key(a), key(b)))
+            j += 1
           }
+          i += 1
         }
+        out
+      }.foreach(_.foreach { case (ka, kb) =>
+        val (ra, rb) = (find(ka), find(kb))
+        if (ra != rb) parent.put(rb, ra)
+      })
       // component label = min member key (UTF-8 order), like CC
       val minOf = new java.util.HashMap[String, String]()
       rows.foreach { f =>
@@ -634,12 +663,18 @@ object Canonicalize {
         val cur = minOf.get(r)
         if (cur == null || utf8Compare(key(f), cur) < 0) minOf.put(r, key(f))
       }
-      val out = rows.groupBy(f => minOf.get(find(key(f)))).toSeq
-        .sortBy(_._1)(Ordering.fromLessThan[String](utf8Compare(_, _) < 0))
-        .flatMap { case (comp, members) =>
-          refineCanopy(comp,
-            members.map(f => (f._1, f._2, f._3, f._4)), idf, maxCanopySize)
-        }
+      // Refinement is worst-case O(members × leaders) per canopy — same
+      // fan-out treatment, order preserved by parMap so output order
+      // stays the sorted-component order.
+      val out = parMap(rows.groupBy(f => minOf.get(find(key(f)))).toSeq
+          .sortBy(_._1)(Ordering.fromLessThan[String](utf8Compare(_, _) < 0))) {
+          case (comp, members) =>
+            // refineCanopy is lazy (an Iterator) — force it HERE so the
+            // O(m × leaders) matching actually runs inside the pool task
+            refineCanopy(comp,
+              members.map(f => (f._1, f._2, f._3, f._4)), idf,
+              maxCanopySize).toVector
+        }.flatten
       return out.toDF("tag", "surface", "n_mentions", "node_id", "canonical")
     }
     // DISTRIBUTED path: corpus-scale surface universes

@@ -178,12 +178,17 @@ object IcebergishTable {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val stages = Files.list(rootPath).iterator().asScala
-      .filter(Files.isDirectory(_)).toSeq
+    val listing = Files.list(rootPath) // NIO streams hold open dir handles
+    val stages =
+      try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      finally listing.close()
     val dead = stages.filter(d => !isCommitted(root, d.getFileName.toString))
     dead.foreach { d =>
-      Files.walk(d).iterator().asScala.toSeq
-        .sortBy(_.getNameCount)(Ordering.Int.reverse) // children first
+      val walk = Files.walk(d)
+      val entries =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      entries.sortBy(_.getNameCount)(Ordering.Int.reverse) // children first
         .foreach(Files.deleteIfExists(_))
     }
     dead.map(_.getFileName.toString).sorted

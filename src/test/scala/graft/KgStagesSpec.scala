@@ -480,7 +480,63 @@ class KgStagesSpec extends SparkSuite {
     assert(sortedRows(Pipeline.readTriplesUpTo(spark, b, 2)) == sortedRows(ta))
     assert(sortedRows(IcebergishTable.read(spark, b, "nodes_b2")) ==
       sortedRows(na))
+    // a prefix read below the compaction generation cannot be served
+    // (history folded in, per-batch snapshots GC'd) — fail with the
+    // precise contract error, not a bare missing-snapshot crash
+    val exPrefix = intercept[IllegalArgumentException] {
+      Pipeline.readTriplesUpTo(spark, b, 0)
+    }
+    assert(exPrefix.getMessage.contains("folded into"), exPrefix.getMessage)
     turns.unpersist()
+  }
+
+  test("streaming replay of a completed batch survives artifact GC + vacuum") {
+    import spark.implicits._
+    // the gcBatchArtifacts tradeoff made real: a replay of batch 1 after
+    // GC deleted surface_forms_b0 (and vacuum removed its data) must
+    // re-pay decode and SKIP THROUGH, not crash-loop on the
+    // batches-commit-in-order require
+    val turns = TranscriptGen.generate(spark, 14L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val cut = convs(convs.length / 2)
+    val b0 = turns.filter(col("conv_id") < cut)
+    val b1 = turns.filter(col("conv_id") >= cut)
+    val root = Files.createTempDirectory("inc_replay").toString
+    Pipeline.runIncremental(spark, b0, root, 0)
+    val (t1, n1, e1) = Pipeline.runIncremental(spark, b1, root, 1,
+      checkDisjointConvs = true)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val (tr, nr, er) = (sortedRows(t1), sortedRows(n1), sortedRows(e1))
+    Pipeline.gcBatchArtifacts(root, 1)
+    graft.sources.IcebergishTable.vacuum(root)
+    assert(!graft.sources.IcebergishTable.isCommitted(root,
+      "surface_forms_b0"))
+    val (t2, n2, e2) = Pipeline.runIncremental(spark, b1, root, 1,
+      checkDisjointConvs = true)
+    assert(sortedRows(t2) == tr && sortedRows(n2) == nr &&
+      sortedRows(e2) == er, "replayed batch diverged")
+    turns.unpersist()
+  }
+
+  test("disjointness guard sees conversations that produced zero triples") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    // a conversation with no detectable mentions: no mentions -> no
+    // triples, so a triples-derived registry would NOT contain it and a
+    // re-delivery would silently double-count its (zero) mentions — the
+    // convs_b registry must catch it anyway
+    val quiet = Seq(
+      Turn("quiet1", 0, "user", "nothing notable happens here", null, ts),
+      Turn("quiet1", 1, "user", "still just small talk", null, ts)).toDS()
+    val root = Files.createTempDirectory("inc_quiet").toString
+    val (t0, _, _) = Pipeline.runIncremental(spark, quiet, root, 0)
+    assert(t0.count() == 0, "fixture unexpectedly produced triples")
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, quiet, root, 1,
+        checkDisjointConvs = true)
+    }
+    assert(ex.getMessage.contains("whole conversations"), ex.getMessage)
   }
 
   test("FULL pipeline (incl. canonicalization) deterministic under partitioning") {
