@@ -210,16 +210,19 @@ object Pipeline {
     require(batchId == 0 || isCommitted(ckptRoot, prevForms) ||
         isCommitted(ckptRoot, s"surface_forms_b$batchId"),
       s"no committed $prevForms under $ckptRoot — batches commit in order")
-    if (checkDisjointConvs && batchId > 0) {
+    // The guard validates a batch's FIRST execution; a replay of an
+    // already-validated batch (its convs_b or forms_b snapshot is
+    // committed — convs_b commits only after the guard passed) skips it,
+    // which also keeps replays correct after [[compactConvs]] folded the
+    // batch's own convs into a registry generation.
+    if (checkDisjointConvs && batchId > 0 &&
+        !isCommitted(ckptRoot, s"convs_b$batchId") &&
+        !isCommitted(ckptRoot, s"surface_forms_b$batchId")) {
       // The registry of prior conv ids comes from the convs_b<i>
       // snapshots, NOT from prior triples: a conversation can yield
       // mentions but no triples, and the guard must still see it (a
       // re-delivery would double-count its mentions in surface_forms).
-      // The registries are one tiny column per batch, never compacted
-      // or GC'd, so this read also works below a compaction generation.
-      val prior = (0 until batchId)
-        .map(i => read(spark, ckptRoot, s"convs_b$i"))
-        .reduce(_ unionByName _)
+      val prior = readConvsUpTo(spark, ckptRoot, batchId - 1)
       val overlap = newTurns.toDF().select("conv_id").distinct()
         .join(prior, "conv_id").limit(1).count()
       require(overlap == 0,
@@ -278,10 +281,56 @@ object Pipeline {
   }
 
   /** Largest committed compaction generation under `root`, or -1. */
-  private def latestCompaction(root: String, upTo: Int): Int =
+  private def latestCompaction(root: String, upTo: Int,
+      prefix: String = "triples_compact_"): Int =
     (0 to upTo).reverse.find(g =>
-      graft.sources.IcebergishTable.isCommitted(root, s"triples_compact_$g"))
+      graft.sources.IcebergishTable.isCommitted(root, s"$prefix$g"))
       .getOrElse(-1)
+
+  /** The conv-id registry through batch `batchId`: the largest committed
+    * `convs_compact_<g>` (g <= batchId) plus every `convs_b<i>` with
+    * g < i <= batchId — the registry twin of [[readTriplesUpTo]]. */
+  def readConvsUpTo(spark: SparkSession, root: String,
+      batchId: Int): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IcebergishTable.read
+    val g = latestCompaction(root, batchId, "convs_compact_")
+    val base =
+      if (g >= 0) Seq(read(spark, root, s"convs_compact_$g")) else Seq.empty
+    (base ++ ((g + 1) to batchId).map(i => read(spark, root, s"convs_b$i")))
+      .reduce(_ unionByName _)
+  }
+
+  /** Fold the per-batch conv-id registries through COMPLETED batch
+    * `upToBatch` into one `convs_compact_<g>` generation — same
+    * crash-safe commit-then-GC ordering as [[compactTriples]], same
+    * small-file rationale (the disjointness guard otherwise unions one
+    * tiny snapshot per batch forever). Completion (edges committed) is
+    * REQUIRED, not just convenient: it guarantees any replay of a folded
+    * batch is detected by the guard's replay skip (forms_b committed),
+    * so folding the batch's own convs into the registry can never make
+    * the guard fire on its legitimate replay. */
+  def compactConvs(spark: SparkSession, root: String,
+      upToBatch: Int): Unit = {
+    import graft.sources.IcebergishTable
+    require(upToBatch >= 0)
+    require(IcebergishTable.isCommitted(root, s"edges_b$upToBatch"),
+      s"batch $upToBatch has not completed (no committed edges snapshot) " +
+        "— registry compaction only runs behind a completed batch")
+    val g = latestCompaction(root, upToBatch, "convs_compact_")
+    if (g < upToBatch) {
+      val merged = readConvsUpTo(spark, root, upToBatch)
+      IcebergishTable.commit(spark, merged, root,
+        s"convs_compact_$upToBatch", "conv_id",
+        parentSnapshot =
+          if (g >= 0) s"convs_compact_$g" else "convs_b0")
+    }
+    val gcNames = (0 until upToBatch).map(i => s"convs_compact_$i") ++
+      (0 to upToBatch).map(i => s"convs_b$i")
+    gcNames.foreach { s =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(IcebergishTable.manifestPath(root, s)))
+    }
+  }
 
   /** The triple corpus through batch `batchId`: the LARGEST committed
     * `triples_compact_<g>` (g <= batchId) plus every `triples_b<i>` with

@@ -519,6 +519,43 @@ class KgStagesSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("convs registry compaction: guard reads through generations, replay stays exempt") {
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, 18L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val (c1, c2) = (convs(convs.length / 3), convs(2 * convs.length / 3))
+    val b0 = turns.filter(col("conv_id") < c1)
+    val b1 = turns.filter(col("conv_id") >= c1 && col("conv_id") < c2)
+    val b2 = turns.filter(col("conv_id") >= c2)
+    val r = Files.createTempDirectory("inc_convs").toString
+    Pipeline.runIncremental(spark, b0, r, 0)
+    Pipeline.runIncremental(spark, b1, r, 1, checkDisjointConvs = true)
+    Pipeline.compactConvs(spark, r, 1)
+    import graft.sources.IcebergishTable.isCommitted
+    assert(isCommitted(r, "convs_compact_1") &&
+      !isCommitted(r, "convs_b0") && !isCommitted(r, "convs_b1"))
+    // the guard of the NEXT batch reads the generation, not per-batch files
+    val (t2, n2, e2) = Pipeline.runIncremental(spark, b2, r, 2,
+      checkDisjointConvs = true)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val (tr, nr, er) = (sortedRows(t2), sortedRows(n2), sortedRows(e2))
+    // a violation folded into the generation is still detected
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, b0, r, 3, checkDisjointConvs = true)
+    }
+    assert(ex.getMessage.contains("whole conversations"))
+    // a replay of a batch whose own convs were folded into the registry
+    // generation must NOT trip the guard on itself
+    Pipeline.compactConvs(spark, r, 2)
+    assert(!isCommitted(r, "convs_b2"))
+    val (t3, n3, e3) = Pipeline.runIncremental(spark, b2, r, 2,
+      checkDisjointConvs = true)
+    assert(sortedRows(t3) == tr && sortedRows(n3) == nr &&
+      sortedRows(e3) == er, "replay after registry compaction diverged")
+    turns.unpersist()
+  }
+
   test("disjointness guard sees conversations that produced zero triples") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)
