@@ -210,6 +210,18 @@ object Pipeline {
     require(batchId == 0 || isCommitted(ckptRoot, prevForms) ||
         isCommitted(ckptRoot, s"surface_forms_b$batchId"),
       s"no committed $prevForms under $ckptRoot — batches commit in order")
+    // A COMPLETED batch replays as a pure READ-BACK: nothing recomputes
+    // (a post-GC replay does not even re-pay decode) and nothing
+    // superseded is resurrected — without this, a replay after
+    // compaction would find the folded triples_b/convs_b manifests gone
+    // and re-commit them BELOW the generation: committed garbage no
+    // reader unions and vacuum can never reclaim.
+    if (isCommitted(ckptRoot, s"nodes_b$batchId") &&
+        isCommitted(ckptRoot, s"edges_b$batchId")) {
+      return (readTriplesUpTo(spark, ckptRoot, batchId),
+        read(spark, ckptRoot, s"nodes_b$batchId"),
+        read(spark, ckptRoot, s"edges_b$batchId"))
+    }
     // The guard validates a batch's FIRST execution; a replay of an
     // already-validated batch (its convs_b or forms_b snapshot is
     // committed — convs_b commits only after the guard passed) skips it,
@@ -222,6 +234,18 @@ object Pipeline {
       // snapshots, NOT from prior triples: a conversation can yield
       // mentions but no triples, and the guard must still see it (a
       // re-delivery would double-count its mentions in surface_forms).
+      // A root written before the registry existed cannot be validated
+      // soundly (zero-triple conversations are unrecoverable once the
+      // decoded snapshots are GC'd) — fail with the reason, not a bare
+      // missing-snapshot error.
+      val g0 = latestCompaction(ckptRoot, batchId - 1, "convs_compact_")
+      require(graft.sources.IcebergishTable.isCommitted(ckptRoot,
+          s"convs_b${g0 + 1}") || g0 == batchId - 1,
+        s"no conv-id registry for batches ${g0 + 1}..${batchId - 1} under " +
+          s"$ckptRoot — this root predates the convs_b registry and " +
+          "cannot enforce checkDisjointConvs (zero-triple conversations " +
+          "are not recoverable from remaining snapshots); re-run with " +
+          "checkDisjointConvs=false and enforce disjointness upstream")
       val prior = readConvsUpTo(spark, ckptRoot, batchId - 1)
       val overlap = newTurns.toDF().select("conv_id").distinct()
         .join(prior, "conv_id").limit(1).count()
@@ -309,13 +333,34 @@ object Pipeline {
     * batch is detected by the guard's replay skip (forms_b committed),
     * so folding the batch's own convs into the registry can never make
     * the guard fire on its legitimate replay. */
+  /** Has batch `b` completed? Direct evidence is its committed edges
+    * snapshot; after [[gcBatchArtifacts]] deleted below-head graph
+    * manifests, a committed `surface_forms_b<j>` with j >= b proves it
+    * too (batches commit strictly in order). */
+  private def batchCompleted(root: String, b: Int): Boolean = {
+    import graft.sources.IcebergishTable.isCommitted
+    if (isCommitted(root, s"edges_b$b")) return true
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return false
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(rootPath)
+    val heads =
+      try names.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("surface_forms_b") =>
+          s.stripPrefix("surface_forms_b").toIntOption }
+        .flatten.toSeq
+      finally names.close()
+    heads.exists(j => j >= b && isCommitted(root, s"surface_forms_b$j"))
+  }
+
   def compactConvs(spark: SparkSession, root: String,
       upToBatch: Int): Unit = {
     import graft.sources.IcebergishTable
     require(upToBatch >= 0)
-    require(IcebergishTable.isCommitted(root, s"edges_b$upToBatch"),
-      s"batch $upToBatch has not completed (no committed edges snapshot) " +
-        "— registry compaction only runs behind a completed batch")
+    require(batchCompleted(root, upToBatch),
+      s"batch $upToBatch has not completed (no committed edges snapshot, " +
+        "and no committed forms head at or beyond it) — registry " +
+        "compaction only runs behind a completed batch")
     val g = latestCompaction(root, upToBatch, "convs_compact_")
     if (g < upToBatch) {
       val merged = readConvsUpTo(spark, root, upToBatch)
@@ -436,14 +481,15 @@ object Pipeline {
     * Tradeoff made explicit: a STREAMING REPLAY of an already-complete
     * batch (checkpoint lost the offset commit after foreachBatch
     * succeeded) would have skipped every stage via these manifests; after
-    * GC it re-pays the batch's decode (the ordering require in
-    * [[runIncremental]] accepts a batch whose own forms snapshot is
-    * committed, so the replay proceeds rather than tripping on the
-    * GC'd prev-forms manifest — KgStagesSpec pins it). GC trades that
-    * rare replay cost for not accumulating one manifest set per batch
-    * forever — run it a few batches behind the head if replays matter.
-    * The convs_b registries are never GC'd: the disjointness guard
-    * must see every prior conversation forever. */
+    * GC it replays as a pure READ-BACK: [[runIncremental]] detects the
+    * completed batch (committed nodes+edges) and returns the snapshots
+    * without recomputing anything — no decode re-pay, no tripping on
+    * the GC'd prev-forms manifest, no resurrection of superseded
+    * snapshots (KgStagesSpec pins it). Only a PARTIALLY-complete batch
+    * resumes compute, and then only its uncommitted stages. The
+    * convs_b registries are not GC'd here — the disjointness guard
+    * must see every prior conversation; [[compactConvs]] folds them
+    * into generations instead. */
   def gcBatchArtifacts(root: String, completedBatch: Int): Unit = {
     import graft.sources.IcebergishTable
     require(completedBatch >= 0)

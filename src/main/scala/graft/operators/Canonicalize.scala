@@ -304,11 +304,20 @@ object Canonicalize {
     * input order, not scheduling order. */
   private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     if (xs.isEmpty) return Seq.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(Runtime.getRuntime.availableProcessors, xs.size)))
-    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
-        def call(): B = f(x)
-      })).map { fut =>
+    val threads =
+      math.max(1, math.min(Runtime.getRuntime.availableProcessors, xs.size))
+    // One task per CHUNK, not per item: at 10^5 mostly-trivial items
+    // (singleton canopies, two-member blocks) per-item FutureTask
+    // allocation and queue contention would dominate the work itself —
+    // allocation rate is this engine's measured scaling limiter.
+    val chunks = xs.grouped(
+      math.max(1, xs.size / (threads * 4) +
+        (if (xs.size % (threads * 4) == 0) 0 else 1))).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try chunks.map(chunk =>
+        pool.submit(new java.util.concurrent.Callable[Seq[B]] {
+          def call(): Seq[B] = chunk.map(f)
+        })).flatMap { fut =>
         try fut.get()
         catch { // surface f's own exception, not the wrapper
           case e: java.util.concurrent.ExecutionException => throw e.getCause
@@ -630,7 +639,8 @@ object Canonicalize {
           ("p:" + f._1 + ":" + substrCp(f._4, 2)) -> f,
           ("s:" + f._1 + ":" + substrCp(reverseCp(f._4), 2)) -> f))
         .groupBy(_._1).valuesIterator
-        .filter(_.length <= maxBlockSize).toSeq
+        // singleton blocks generate no pairs — don't even enqueue them
+        .filter(es => es.length >= 2 && es.length <= maxBlockSize).toSeq
       // Pair DISCOVERY — the O(Σ m²) Levenshtein/cosine work and the only
       // non-trivial compute on this path — fans out per block over
       // [[parMap]]'s bounded pool; only the UNION step stays serial. The

@@ -167,8 +167,11 @@ object IcebergishTable {
     * `Pipeline.compactTriples`/`gcBatchArtifacts` (both delete only
     * manifests — the idempotent, crash-safe step — and leave data
     * directories "for out-of-band removal": this is that removal).
-    * Deletes every stage directory under `root` that has data but NO
-    * committed manifest, and returns the deleted stage names.
+    * Deletes every STAGE-SHAPED directory under `root` (one holding a
+    * data/ dir or a possibly-half-written manifest) that has NO committed
+    * manifest, and returns the deleted stage names. Non-stage directories
+    * a user co-locates under the root (a streaming checkpoint, logs) are
+    * never touched.
     *
     * MUST only run while no writer is active on `root` (the standard
     * expire-snapshots caveat): a stage mid-write has data and no manifest
@@ -182,7 +185,16 @@ object IcebergishTable {
     val stages =
       try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
       finally listing.close()
-    val dead = stages.filter(d => !isCommitted(root, d.getFileName.toString))
+    // Only STAGE-SHAPED directories (a data/ dir or a manifest, possibly
+    // half-written) are candidates: users co-locate non-stage state under
+    // the root — a Structured Streaming checkpoint, logs — and "no
+    // committed manifest" must never condemn those.
+    def stageShaped(d: java.nio.file.Path): Boolean =
+      Files.isDirectory(d.resolve("data")) ||
+        Files.exists(d.resolve("manifest.json")) ||
+        Files.exists(d.resolve("manifest.json.tmp"))
+    val dead = stages.filter(d =>
+      stageShaped(d) && !isCommitted(root, d.getFileName.toString))
     dead.foreach { d =>
       val walk = Files.walk(d)
       val entries =

@@ -470,8 +470,15 @@ class KgStagesSpec extends SparkSuite {
       Pipeline.gcBatchArtifacts(b, 3)
     }
     // vacuum: physical removal of everything the manifest GC orphaned;
-    // the live chain survives and reads identically
+    // the live chain survives and reads identically — and NON-STAGE
+    // state co-located under the root (streaming checkpoint, logs) is
+    // never touched
+    val ckptDir = java.nio.file.Paths.get(b, "_streaming_checkpoint")
+    java.nio.file.Files.createDirectories(ckptDir.resolve("offsets"))
+    java.nio.file.Files.writeString(ckptDir.resolve("offsets/0"), "{}")
     val vacuumed = IcebergishTable.vacuum(b)
+    assert(!vacuumed.contains("_streaming_checkpoint"))
+    assert(java.nio.file.Files.exists(ckptDir.resolve("offsets/0")))
     assert(vacuumed.contains("decoded_b0") && vacuumed.contains("triples_b1")
       && vacuumed.contains("nodes_b0"), s"vacuumed=$vacuumed")
     assert(!vacuumed.contains("triples_compact_2") &&
@@ -516,6 +523,9 @@ class KgStagesSpec extends SparkSuite {
       checkDisjointConvs = true)
     assert(sortedRows(t2) == tr && sortedRows(n2) == nr &&
       sortedRows(e2) == er, "replayed batch diverged")
+    // the completed batch replayed as a pure READ-BACK: decode was not
+    // re-paid (the GC'd decoded snapshot stays gone)
+    assert(!graft.sources.IcebergishTable.isCommitted(root, "decoded_b1"))
     turns.unpersist()
   }
 
@@ -553,6 +563,20 @@ class KgStagesSpec extends SparkSuite {
       checkDisjointConvs = true)
     assert(sortedRows(t3) == tr && sortedRows(n3) == nr &&
       sortedRows(e3) == er, "replay after registry compaction diverged")
+    // read-back replay: the folded convs_b2 was NOT resurrected below
+    // the registry generation
+    assert(!isCommitted(r, "convs_b2"), "superseded registry resurrected")
+    // registry compaction behind the artifact-GC point: gc deletes
+    // below-head edges manifests, the completion proxy must still see
+    // batches 0/1 as completed through the forms head
+    Pipeline.gcBatchArtifacts(r, 2)
+    val r2root = Files.createTempDirectory("inc_convs2").toString
+    Pipeline.runIncremental(spark, b0, r2root, 0)
+    Pipeline.runIncremental(spark, b1, r2root, 1)
+    Pipeline.gcBatchArtifacts(r2root, 1)
+    assert(!isCommitted(r2root, "edges_b0"))
+    Pipeline.compactConvs(spark, r2root, 0) // must not fail as 'incomplete'
+    assert(isCommitted(r2root, "convs_compact_0"))
     turns.unpersist()
   }
 
