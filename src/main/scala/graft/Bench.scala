@@ -460,6 +460,6 @@ object Bench {
         s""""micro_scaling_efficiency_8_32":${f"$microEff8to32%.3f"},""" +
         s""""kg_vs_platform_ceiling_1_4":${f"${eff / microEff}%.3f"},""" +
         s""""canon_vs_platform_ceiling_1_4":${f"${canonEff / microEff}%.3f"},""" +
-        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour, and the headline pair + control get a SECOND independent attempt later in the run (legs merge by min time, control by max tps - both estimate the quiet-box value); micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling (micro_scaling_efficiency_8_32 is the control's own 8->32 number, sampled interleaved with legs 8 and 32 — the ceiling claim is machine-checkable); canon_* is the same 1-vs-4 fresh-JVM protocol applied to the canonicalization WIDE stage (pre-decoded parquet -> mentions -> link -> canonicalMap), interleaved with its own micro control samples"}""")
+        s""""kg_scaling_note":"per-leg fresh JVM pinned via taskset, ActiveProcessorCount+heap prop-to cores; estimator = min across dispersion-gated steady-state runs (a leg with >2x run spread is box-polluted and re-run in a fresh JVM); headline = N=1 vs 4N=4, measured INTERLEAVED with the micro control (leg1, micro1, leg4, micro4) because this shared box's ceiling drifts by the hour, and the headline pair + control get a SECOND independent attempt later in the run (legs merge by min time, control by max tps - both estimate the quiet-box value); micro_* is the Spark-free control (graft.Micro runs Pipeline.extractTurn VERBATIM on a plain thread pool) = the box's own 1->4 ceiling, so kg_vs_platform_ceiling_1_4 isolates the ENGINE's scaling from host vCPU droop; 2->8 and 8->32 document the single-box membw ceiling (micro_scaling_efficiency_8_32 is the control's own 8->32 number, sampled interleaved with legs 8 and 32 -- the ceiling claim is machine-checkable); canon_* is the same 1-vs-4 fresh-JVM protocol applied to the canonicalization WIDE stage (pre-decoded parquet -> mentions -> link -> canonicalMap), interleaved with its own micro control samples"}""")
   }
 }
