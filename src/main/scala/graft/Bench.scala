@@ -342,9 +342,15 @@ object Bench {
         val pairsJson = ls.sliding(2).collect { case Seq(a, b) =>
           s""""${a}->$b":${f"${(iterSec(a) / iterSec(b)) / (b.toDouble / a)}%.3f"}""" }
           .mkString("{", ",", "}")
+        // query timings were measured (unless SKIP_QUERIES=1) — carry them
+        // so an iteration run doubles as a quick query-suite window check
+        val iterQs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+          .mkString("{", ",", "}")
+        val iterQTotal = results.map(_._2).filter(_ >= 0).sum
         cleanupTurns()
         println(s"""{"metric":"legs-only iteration run ($iterKind)","legs_sec":$legsJson,""" +
-          s""""pair_eff":$pairsJson,"kg_triples":$nTriples,"canon_forms":$nForms}""")
+          s""""pair_eff":$pairsJson,"kg_triples":$nTriples,"canon_forms":$nForms,""" +
+          s""""queries":$iterQs,"queries_total_sec":${f"$iterQTotal%.3f"}}""")
         return
       case None =>
         // the HEADLINE pair (1, 4) is measured INTERLEAVED with its
