@@ -295,9 +295,13 @@ object Bench {
           .where(col("conv_id") >= f"conv$lo%08d" &&
             col("conv_id") < f"conv$hi%08d")
           .as[Schemas.Turn](org.apache.spark.sql.Encoders.product[Schemas.Turn])
-      val per = incrConvs / nBatches
+      // proportional split: batch sizes differ by at most one conversation
+      // — the old form gave the LAST batch the whole division remainder,
+      // and append_cost_growth_b0_to_last (last/first) would then read
+      // size skew as per-append cost growth
       def bounds(i: Int): (Long, Long) =
-        (i * per, if (i == nBatches - 1) incrConvs else (i + 1) * per)
+        (i.toLong * incrConvs / nBatches, (i + 1).toLong * incrConvs / nBatches)
+      val per = bounds(0)._2
       // warm-up: page cache for the shared parquet + codegen/JIT for the
       // full stage chain, untimed, into a throwaway root
       spark.read.parquet(incrTurns).count()

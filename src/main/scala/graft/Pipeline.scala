@@ -105,6 +105,55 @@ object Pipeline {
       .dropDuplicates("conv_id", "turn_idx", "start", "end", "tag")
   }
 
+  /** Salting parameters for the conversation-window coref stage — ONE
+    * definition shared by the full and incremental chains, so a tuning
+    * change can never silently diverge incremental extraction from full
+    * extraction between KgStagesSpec equality runs. */
+  private val CorefWindow = 5
+  private val CorefChunkSize = 10000
+
+  /** The checkpointed NARROW extraction chain (decode → mentions → link →
+    * triples+salted-coref), shared VERBATIM by [[runCheckpointed]] and
+    * [[runIncremental]] — only the stage names (`nameOf`: base name →
+    * snapshot name, identity for the full chain, `_b<i>`-suffixed for a
+    * batch) and the decoded stage's recorded parent differ. Returns
+    * (decoded, mentions, linked, triples) read back from the committed
+    * snapshots. */
+  private def narrowStages(spark: SparkSession, turns: Dataset[Turn],
+      ckptRoot: String, nameOf: String => String, decodedParent: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import graft.sources.IcebergishTable.stage
+    val decodedDf = stage(spark, ckptRoot, nameOf("decoded"), "conv_id",
+      decodedParent) {
+      decodeTurns(spark, turns).toDF()
+    }
+    val decoded = decodedDf.as[DecodedTurn]
+    val mentionsDf = stage(spark, ckptRoot, nameOf("mentions"), "conv_id",
+      nameOf("decoded")) {
+      // gazetteer ∪ regex sources; gazetteer mentions are DERIVED from the
+      // decoded checkpoint — detection is not re-run for this stage
+      mentionsFromDecoded(spark, decoded, turns).toDF()
+    }
+    val linkedDf = stage(spark, ckptRoot, nameOf("linked"), "conv_id",
+      nameOf("mentions")) {
+      val dict = spark.sparkContext.broadcast(Linker.buildDict())
+      Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
+    }
+    val triplesDf = stage(spark, ckptRoot, nameOf("triples"), "conv_id",
+      nameOf("linked")) {
+      // coref is the one order-dependent wide stage -> salted: hot
+      // conversations fan out over size/chunkSize tasks with overlap
+      // context (equivalence pinned by ScaleSpec)
+      Triples.triples(spark, decoded).toDF()
+        .unionByName(Coref.triples(spark,
+          SkewSalting.corefSalted(spark, decoded, window = CorefWindow,
+            chunkSize = CorefChunkSize)).toDF())
+    }
+    (decodedDf, mentionsDf, linkedDf, triplesDf)
+  }
+
   /** Full run with per-stage Icebergish checkpoints + lineage (north rule
     * resumability): a killed run re-invoked with the same `ckptRoot`
     * skips every stage whose committed snapshot exists. Returns
@@ -114,28 +163,8 @@ object Pipeline {
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     import graft.sources.IcebergishTable.stage
-    val decodedDf = stage(spark, ckptRoot, "decoded", "conv_id", "turns") {
-      decodeTurns(spark, turns).toDF()
-    }
-    val decoded = decodedDf.as[DecodedTurn]
-    val mentionsDf = stage(spark, ckptRoot, "mentions", "conv_id", "decoded") {
-      // gazetteer ∪ regex sources; gazetteer mentions are DERIVED from the
-      // decoded checkpoint — detection is not re-run for this stage
-      mentionsFromDecoded(spark, decoded, turns).toDF()
-    }
-    val linkedDf = stage(spark, ckptRoot, "linked", "conv_id", "mentions") {
-      val dict = spark.sparkContext.broadcast(Linker.buildDict())
-      Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
-    }
-    val triplesDf = stage(spark, ckptRoot, "triples", "conv_id", "linked") {
-      // coref is the one order-dependent wide stage -> salted: hot
-      // conversations fan out over size/chunkSize tasks with overlap
-      // context (equivalence pinned by ScaleSpec)
-      Triples.triples(spark, decoded).toDF()
-        .unionByName(Coref.triples(spark,
-          SkewSalting.corefSalted(spark, decoded, window = 5,
-            chunkSize = 10000)).toDF())
-    }
+    val (_, _, linkedDf, triplesDf) =
+      narrowStages(spark, turns, ckptRoot, identity, "turns")
     val canonDf = stage(spark, ckptRoot, "canon_map", "tag", "triples") {
       Canonicalize.canonicalMap(spark, linkedDf)
     }
@@ -260,27 +289,9 @@ object Pipeline {
       if (batchId == 0) "turns" else s"convs_b${batchId - 1}") {
       newTurns.toDF().select("conv_id").distinct()
     }
-    val decodedDf = stage(spark, ckptRoot, s"decoded_b$batchId", "conv_id",
-      if (batchId == 0) "turns" else s"surface_forms_b${batchId - 1}") {
-      decodeTurns(spark, newTurns).toDF()
-    }
-    val decoded = decodedDf.as[DecodedTurn]
-    val mentionsDf = stage(spark, ckptRoot, s"mentions_b$batchId", "conv_id",
-      s"decoded_b$batchId") {
-      mentionsFromDecoded(spark, decoded, newTurns).toDF()
-    }
-    val linkedDf = stage(spark, ckptRoot, s"linked_b$batchId", "conv_id",
-      s"mentions_b$batchId") {
-      val dict = spark.sparkContext.broadcast(Linker.buildDict())
-      Linker.link(spark, mentionsDf.as[Mention], dict).toDF()
-    }
-    val triplesDf = stage(spark, ckptRoot, s"triples_b$batchId", "conv_id",
-      s"linked_b$batchId") {
-      Triples.triples(spark, decoded).toDF()
-        .unionByName(Coref.triples(spark,
-          SkewSalting.corefSalted(spark, decoded, window = 5,
-            chunkSize = 10000)).toDF())
-    }
+    val (_, _, linkedDf, _) = narrowStages(spark, newTurns, ckptRoot,
+      n => s"${n}_b$batchId",
+      if (batchId == 0) "turns" else s"surface_forms_b${batchId - 1}")
     val formsDf = stage(spark, ckptRoot, s"surface_forms_b$batchId", "tag",
       s"triples_b$batchId") {
       val delta = Canonicalize.surfaceForms(linkedDf)
@@ -333,24 +344,34 @@ object Pipeline {
     * batch is detected by the guard's replay skip (forms_b committed),
     * so folding the batch's own convs into the registry can never make
     * the guard fire on its legitimate replay. */
-  /** Has batch `b` completed? Direct evidence is its committed edges
-    * snapshot; after [[gcBatchArtifacts]] deleted below-head graph
-    * manifests, a committed `surface_forms_b<j>` with j >= b proves it
-    * too (batches commit strictly in order). */
-  private def batchCompleted(root: String, b: Int): Boolean = {
-    import graft.sources.IcebergishTable.isCommitted
-    if (isCommitted(root, s"edges_b$b")) return true
+  /** Snapshot ids present under `root` whose directory name is
+    * `<prefix><int>` (committed or not — callers filter). Shared by the
+    * completion proxy and the folded-read diagnostics. */
+  private def dirIds(root: String, prefix: String): Seq[Int] = {
     val rootPath = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(rootPath)) return false
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
     import scala.jdk.CollectionConverters._
     val names = java.nio.file.Files.list(rootPath)
-    val heads =
-      try names.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("surface_forms_b") =>
-          s.stripPrefix("surface_forms_b").toIntOption }
-        .flatten.toSeq
-      finally names.close()
-    heads.exists(j => j >= b && isCommitted(root, s"surface_forms_b$j"))
+    try names.iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith(prefix) =>
+        s.stripPrefix(prefix).toIntOption }
+      .flatten.toSeq
+    finally names.close()
+  }
+
+  /** Has batch `b` completed? Direct evidence is its committed edges
+    * snapshot; after [[gcBatchArtifacts]] deleted below-head graph
+    * manifests, a committed `surface_forms_b<j>` with j STRICTLY beyond b
+    * proves it too (batch j only starts after batch b returned — forms
+    * commit strictly in order). j == b proves nothing: batch b itself
+    * commits its forms several stages before its edges, so an in-flight
+    * or crashed batch would read as "completed" and [[compactConvs]] /
+    * [[compactTriples]] would fold snapshots its resume still needs. */
+  private def batchCompleted(root: String, b: Int): Boolean = {
+    import graft.sources.IcebergishTable.isCommitted
+    isCommitted(root, s"edges_b$b") ||
+      dirIds(root, "surface_forms_b")
+        .exists(j => j > b && isCommitted(root, s"surface_forms_b$j"))
   }
 
   def compactConvs(spark: SparkSession, root: String,
@@ -359,7 +380,7 @@ object Pipeline {
     require(upToBatch >= 0)
     require(batchCompleted(root, upToBatch),
       s"batch $upToBatch has not completed (no committed edges snapshot, " +
-        "and no committed forms head at or beyond it) — registry " +
+        "and no committed forms head beyond it) — registry " +
         "compaction only runs behind a completed batch")
     val g = latestCompaction(root, upToBatch, "convs_compact_")
     if (g < upToBatch) {
@@ -396,20 +417,9 @@ object Pipeline {
     val missing = ((g + 1) to batchId)
       .filter(i => !isCommitted(root, s"triples_b$i"))
     if (missing.nonEmpty) {
-      val rootPath = java.nio.file.Paths.get(root)
-      val later =
-        if (!java.nio.file.Files.isDirectory(rootPath)) None
-        else {
-          import scala.jdk.CollectionConverters._
-          val names = java.nio.file.Files.list(rootPath)
-          try names.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case s if s.startsWith("triples_compact_") =>
-              s.stripPrefix("triples_compact_").toIntOption }
-            .flatten.filter(i => i > batchId && isCommitted(root,
-              s"triples_compact_$i")).maxOption
-          finally names.close()
-        }
+      val later = dirIds(root, "triples_compact_")
+        .filter(i => i > batchId && isCommitted(root, s"triples_compact_$i"))
+        .maxOption
       require(later.isEmpty,
         s"triples through batch $batchId were folded into " +
           s"triples_compact_${later.getOrElse(-1)} and their per-batch " +
@@ -443,6 +453,15 @@ object Pipeline {
       upToBatch: Int): Unit = {
     import graft.sources.IcebergishTable
     require(upToBatch >= 0)
+    // Same completed-batch guard as [[compactConvs]]: folding the triples
+    // of an IN-FLIGHT batch (triples_b committed, edges not yet) would
+    // delete the manifest its crash-resume checks, forcing a silent
+    // recompute of the expensive triples+coref stage and a re-commit of a
+    // superseded snapshot below the generation.
+    require(batchCompleted(root, upToBatch),
+      s"batch $upToBatch has not completed (no committed edges snapshot, " +
+        "and no committed forms head beyond it) — triple compaction only " +
+        "runs behind a completed batch")
     val g = latestCompaction(root, upToBatch)
     require(g == upToBatch ||
       ((g + 1) to upToBatch).forall(i =>

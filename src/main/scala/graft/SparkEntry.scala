@@ -664,11 +664,16 @@ object SparkEntry {
       // expected values minted by KgOracleDump's independent
       // transcription (own quoted-span regex + gazetteer surface set,
       // no Aho-Corasick involved)
-      Pipeline.mentionsAll(s,
-        TranscriptGen.generate(s, 300L).unionByName(
-          s.createDataset(mentionFixtureTurns)(
-            org.apache.spark.sql.Encoders.product[graft.Schemas.Turn])))
-        .toDF()
+      {
+        // decode is per-row, so decode(organic ∪ fixtures) ==
+        // decodedPrefix(300) ∪ decode(fixtures): reuse the warmed shared
+        // prefix instead of re-decoding the 300-conv corpus on every run
+        val fixtures = s.createDataset(mentionFixtureTurns)(
+          org.apache.spark.sql.Encoders.product[graft.Schemas.Turn])
+        Pipeline.mentionsFromDecoded(s,
+          decodedPrefix(s, 300L).unionByName(Pipeline.decodeTurns(s, fixtures)),
+          TranscriptGen.generate(s, 300L).unionByName(fixtures))
+      }.toDF()
         .select(col("tag"), col("detector"),
           conv(substring(md5(concat_ws("\u0001", col("conv_id"),
             col("turn_idx").cast("string"), col("tag"), col("text"),
@@ -701,10 +706,16 @@ object SparkEntry {
       // pipeline's linked stage consumes; expected values minted by
       // KgOracleDump's independent transcription of the scoring ladder.
       val dict = s.sparkContext.broadcast(Linker.buildDict())
-      val turns = TranscriptGen.generate(s, 300L).unionByName(
-        s.createDataset(mentionFixtureTurns ++ linkerFixtureTurns)(
-          org.apache.spark.sql.Encoders.product[graft.Schemas.Turn]))
-      Linker.link(s, Pipeline.mentionsAll(s, turns), dict).toDF()
+      val fixtures = s.createDataset(mentionFixtureTurns ++ linkerFixtureTurns)(
+        org.apache.spark.sql.Encoders.product[graft.Schemas.Turn])
+      val turns = TranscriptGen.generate(s, 300L).unionByName(fixtures)
+      // decode is per-row, so decode(organic ∪ fixtures) ==
+      // decodedPrefix(300) ∪ decode(fixtures): reuse the warmed shared
+      // prefix instead of re-decoding the 300-conv corpus on every run
+      val decoded = decodedPrefix(s, 300L).unionByName(
+        Pipeline.decodeTurns(s, fixtures))
+      Linker.link(s, Pipeline.mentionsFromDecoded(s, decoded, turns), dict)
+        .toDF()
         .select(col("link_score"), col("entity_id"),
           conv(substring(md5(concat_ws("\u0001", col("conv_id"),
             col("turn_idx").cast("string"), col("tag"), col("text"),

@@ -125,7 +125,15 @@ object IcebergishTable {
               nRows, statsExact = merged.nonEmpty || nRows == 0)
           }
         })
-      }.map(_.get())
+      }.map { fut =>
+        // surface the real IO failure, not the pool's wrapper (same
+        // rationale as Canonicalize.parMap)
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
     } finally pool.shutdown()
     lineage.filter(p => !p.statsExact).foreach { p =>
       System.err.println(s"[icebergish] $stage pid=${p.pid}: parquet footer " +

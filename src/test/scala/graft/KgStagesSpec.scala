@@ -580,6 +580,46 @@ class KgStagesSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("compaction refuses to fold behind an in-flight batch") {
+    import spark.implicits._
+    import graft.sources.IcebergishTable
+    val turns = TranscriptGen.generate(spark, 12L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val mid = convs(convs.length / 2)
+    val b0 = turns.filter(col("conv_id") < mid)
+    val b1 = turns.filter(col("conv_id") >= mid)
+    val r = Files.createTempDirectory("inc_inflight").toString
+    Pipeline.runIncremental(spark, b0, r, 0)
+    Pipeline.runIncremental(spark, b1, r, 1)
+    // simulate batch 1 crashed AFTER its forms/triples commits but BEFORE
+    // nodes/edges: its own forms head (j == b) must NOT read as
+    // completion — folding here would delete manifests the crash-resume
+    // still checks, forcing a recompute + a re-commit below the generation
+    for (s <- Seq("nodes_b1", "edges_b1"))
+      Files.deleteIfExists(java.nio.file.Paths.get(
+        IcebergishTable.manifestPath(r, s)))
+    val exC = intercept[IllegalArgumentException] {
+      Pipeline.compactConvs(spark, r, 1)
+    }
+    assert(exC.getMessage.contains("not completed"), exC.getMessage)
+    val exT = intercept[IllegalArgumentException] {
+      Pipeline.compactTriples(spark, r, 1)
+    }
+    assert(exT.getMessage.contains("not completed"), exT.getMessage)
+    // ...but the batch BEHIND the in-flight one is provably complete via
+    // the forms head (j = 1 > 0), even though batch 1 never finished
+    Pipeline.compactTriples(spark, r, 0)
+    assert(IcebergishTable.isCommitted(r, "triples_compact_0"))
+    // the crash-resume completes batch 1; compaction is then legal
+    Pipeline.runIncremental(spark, b1, r, 1)
+    assert(IcebergishTable.isCommitted(r, "edges_b1"))
+    Pipeline.compactTriples(spark, r, 1)
+    Pipeline.compactConvs(spark, r, 1)
+    assert(IcebergishTable.isCommitted(r, "triples_compact_1") &&
+      IcebergishTable.isCommitted(r, "convs_compact_1"))
+    turns.unpersist()
+  }
+
   test("disjointness guard sees conversations that produced zero triples") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)
