@@ -17,6 +17,16 @@ import graft.operators.{Coref, Decode, Detector}
  * enforced by construction rather than by watermark eviction (conversations
  * are finite; production would add a state TTL via
  * GroupStateTimeout.ProcessingTimeTimeout).
+ *
+ * Out-of-order delivery: within a micro-batch, turns sort by turn_idx;
+ * ACROSS micro-batches a late turn resolves only against antecedents
+ * that PRECEDE it (ti < turn_idx — in-order input can never present a
+ * future antecedent, so the guard is a no-op there), and a back-filled
+ * old title inserts into `recent` in recency order rather than masking
+ * newer ones. What stays irrecoverable by design: an anaphor processed
+ * before its antecedent's turn ARRIVES emits nothing (append mode —
+ * no retraction), matching the batch path only once delivery is
+ * complete and in order per conversation.
  */
 object StatefulCoref {
 
@@ -37,20 +47,38 @@ object StatefulCoref {
           var recent = prev.recent
           var last = prev.lastSeen
           val out = scala.collection.mutable.ArrayBuffer.empty[Coref.CorefLink]
-          // micro-batch iterator order is not guaranteed: sort by turn_idx
-          it.toSeq.sortBy(_.turn_idx).foreach { d =>
-            val titles = d.entities.filter(_.tag == "TITLE")
-            if (titles.isEmpty && d.text != null &&
-              anaphor.matcher(d.text).find()) {
-              recent.find { case (ti, _) => d.turn_idx - ti <= window }
-                .foreach { case (ti, t) =>
-                  out += Coref.CorefLink(conv, d.turn_idx, t, ti)
-                }
+          // Prune BEFORE buffering (the batch path's exchange-pruning
+          // lesson, PLANS.md §9): a hot conversation's micro-batch share
+          // is buffered to sort by turn_idx — as (turn_idx, titles,
+          // anaphor?) records, not whole DecodedTurns, so the per-group
+          // working set is bounded by mention counts, not text size.
+          it.map { d =>
+            val titles = d.entities.collect {
+              case e if e.tag == "TITLE" => e.text
             }
-            titles.foreach { e =>
-              recent = ((d.turn_idx, e.text)) :: recent.take(window)
+            (d.turn_idx, titles,
+              titles.isEmpty && d.text != null &&
+                anaphor.matcher(d.text).find())
+          }.toSeq.sortBy(_._1).foreach { case (turnIdx, titles, ana) =>
+            if (ana) {
+              // antecedent must PRECEDE the anaphor: a late-arriving
+              // earlier turn (cross-batch out-of-order delivery) may
+              // resolve against `recent` entries from FUTURE turns the
+              // in-order batch path could never have seen yet
+              recent.find { case (ti, _) =>
+                ti < turnIdx && turnIdx - ti <= window
+              }.foreach { case (ti, t) =>
+                out += Coref.CorefLink(conv, turnIdx, t, ti)
+              }
             }
-            last = math.max(last, d.turn_idx)
+            titles.foreach { t =>
+              // keep `recent` in strict recency (descending turn_idx)
+              // order even when a late turn back-fills an old title —
+              // stable sort preserves the batch path's within-turn order
+              recent = (((turnIdx, t)) :: recent)
+                .sortBy(-_._1).take(window + 1)
+            }
+            last = math.max(last, turnIdx)
           }
           state.update(ConvState(recent, last))
           out.iterator

@@ -14,8 +14,15 @@ import graft.operators.{Decode, Detector}
  * (no stateful operators required; the north rule handles resumability
  * via batch checkpoints instead).
  *
- * Late/duplicate data: watermark on `ts` + dropDuplicates on
- * (conv_id, turn_idx) — the per-turn idempotency key.
+ * Late/duplicate data: watermark on `ts` + dropDuplicatesWithinWatermark
+ * on (conv_id, turn_idx) — the per-turn idempotency key. The
+ * within-watermark form matters at scale: plain streaming dropDuplicates
+ * only evicts state when the event-time column is PART of the key, so
+ * keying on (conv_id, turn_idx) alone would grow one state entry per
+ * turn ever seen — unbounded on a 10^12-turn stream. Within-watermark
+ * dedup evicts each key once the watermark passes it, bounding state by
+ * the watermark horizon (duplicates are expected from source retries,
+ * which arrive well inside it).
  */
 object StreamingIngest {
 
@@ -28,7 +35,7 @@ object StreamingIngest {
     val bc = spark.sparkContext.broadcast(Detector.buildModel())
     turns
       .withWatermark("ts", watermark)
-      .dropDuplicates("conv_id", "turn_idx")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
       .as[(String, Int, String, String)]
       .mapPartitions { it =>
@@ -130,6 +137,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        // fail loudly instead of wrapping: a truncated id would collide
+        // with an old batch dir and read-back-skip NEW data as complete
+        require(batchId <= Int.MaxValue,
+          s"streaming batch id $batchId exceeds Int range — " +
+            "runIncremental's batch-id space is Int")
         // the batch Dataset is re-evaluated by each action inside
         // runIncremental — persist once so the source is read once
         batch.persist()

@@ -121,6 +121,39 @@ class StatefulSpec extends SparkSuite {
     assert(links.head.getAs[Int]("turn_idx") == 1)
   }
 
+  test("stateful coref: cross-batch out-of-order turns never resolve forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    def turn(i: Int, text: String) =
+      Turn("c1", i, "user", text, null, new Timestamp(1767225600000L + i * 1000))
+    val q = graft.streaming.StatefulCoref.resolveStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("coref_ooo")
+      .outputMode("append").start()
+    // batch 1: a title at turn 10
+    mem.addData(turn(10, "Melt is great"))
+    q.processAllAvailable()
+    // batch 2: a LATE turn 3 with an anaphor — the only known antecedent
+    // is in its future; the in-order batch path could never link these
+    mem.addData(turn(3, "honestly it deserves an award"))
+    q.processAllAvailable()
+    assert(spark.table("coref_ooo").count() == 0,
+      "anaphor resolved to a FUTURE antecedent")
+    // batch 3: a late BACK-FILLED title at turn 8 must not mask the more
+    // recent turn-10 title for later anaphors
+    mem.addData(turn(8, "Senbonzakura is better"))
+    q.processAllAvailable()
+    mem.addData(turn(12, "it keeps looping in my head"))
+    q.processAllAvailable()
+    val links = spark.table("coref_ooo").collect()
+    q.stop()
+    assert(links.length == 1)
+    assert(links.head.getAs[String]("antecedent") == "Melt" &&
+      links.head.getAs[Int]("antecedent_turn") == 10,
+      links.mkString(","))
+  }
+
   test("incremental KG sink: streamed micro-batches == one-shot batch run") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
