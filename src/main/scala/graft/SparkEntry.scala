@@ -129,7 +129,12 @@ object SparkEntry {
         "check \"Totally New Song\" tonight, it slaps", null, ts),
       graft.Schemas.Turn("zfix0000", 1, "assistant",
         "also \"Senbonzakura\" of course, and \"Chrome Tears Cascade\"",
-        null, ts))
+        null, ts),
+      // PADDED quotes: the regex group spans the spaces, the mention must
+      // carry the TRIMMED surface with bounds that still slice it — the
+      // text==slice(start,end) invariant would otherwise go ungated
+      graft.Schemas.Turn("zfix0001", 0, "user",
+        "press play on \" Neon Cascade Drift \" when it loads", null, ts))
   }
 
   /** Pinned fixture turns for the q_kg_linked_digest gate's 0.7 tier:
@@ -941,7 +946,8 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "q_doc_wordstats" ->
       """SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
          len(list_distinct(string_split_regex(trim(text), '\s+')))
            AS n_distinct,
          round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
@@ -1173,7 +1179,7 @@ object SparkEntry {
          FROM (VALUES
   ('ALBUM', 'gazetteer:ac', 579, 1289481263807),
   ('ALT_TITLE', 'gazetteer:ac', 287, 608001000748),
-  ('ALT_TITLE', 'regex:quoted', 2, 4282725365),
+  ('ALT_TITLE', 'regex:quoted', 3, 5051197826),
   ('FEATURING', 'gazetteer:ac', 302, 663115259026),
   ('MISC_PERSON', 'gazetteer:ac', 284, 599234932704),
   ('MODIFIER', 'gazetteer:ac', 861, 1818676649955),
@@ -1189,7 +1195,7 @@ object SparkEntry {
       // normalized-lookup rung is no longer vacuously green.
       """SELECT score::DOUBLE AS link_score, n::BIGINT AS n,
          ne::BIGINT AS n_entities, h::BIGINT AS hashsum FROM (VALUES
-  (0.5, 101, 97, 223093444841),
+  (0.5, 102, 98, 226649875920),
   (0.7, 2, 2, 868914776),
   (0.9, 675, 2, 1464734101828),
   (1.0, 6589, 111, 14247553674402)) AS t(score, n, ne, h)""",

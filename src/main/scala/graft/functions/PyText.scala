@@ -157,6 +157,29 @@ object PyText {
   def utf16ToCp(text: String, u16Index: Int): Int =
     text.codePointCount(0, u16Index)
 
+  /** [[tokenizeWithOffsets]] with offsets converted to CODEPOINT indices
+    * in ONE forward walk (calling [[utf16ToCp]] per boundary would be
+    * O(n^2) over a long document). The plain form emits UTF-16 unit
+    * offsets — the slicing space of every JVM-internal consumer; spans
+    * sourced from the REFERENCE's records (Python len()/slice semantics)
+    * are codepoint-indexed, so joins against them must use this form or
+    * every offset after the first astral character is off. */
+  def tokenizeWithOffsetsCp(text: String): Array[graft.Schemas.Token] = {
+    val toks = tokenizeWithOffsets(text)
+    var u = 0 // UTF-16 cursor
+    var cp = 0 // codepoint cursor
+    @inline def advanceTo(target: Int): Int = {
+      while (u < target) {
+        // token boundaries never split a surrogate pair, so stepping by
+        // codePointAt's char count stays aligned
+        u += Character.charCount(text.codePointAt(u))
+        cp += 1
+      }
+      cp
+    }
+    toks.map(t => graft.Schemas.Token(t.tok, advanceTo(t.start), advanceTo(t.end)))
+  }
+
   /** Does the token match the verbal pattern anywhere (re.search)? */
   def isVerbal(token: String): Boolean = verbalPattern.matcher(token).find()
 

@@ -27,10 +27,21 @@ object AsOfJoin {
    */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: String): DataFrame = {
+    // the carried value is WRAPPED in a single-field struct: the struct is
+    // non-null for every right row even when the payload itself is null,
+    // so last(ignoreNulls) distinguishes "matched a right row whose
+    // payload is null" (ASOF semantics: the match is on time) from "no
+    // right row yet" — carrying the bare payload conflated the two and a
+    // null-payload as-of match silently inherited an OLDER non-null one.
+    // Payload types must be orderable (the tie-break below) — map-typed
+    // payloads are unsupported, as they are in a plain ORDER BY.
+    val pType = right.schema(payload).dataType
+    val carrierType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", pType)))
     val l = left.withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(right.schema(payload).dataType))
+      .withColumn("__p", lit(null).cast(carrierType))
     val r = right.select(col(key), col(time),
-      col(payload).as("__p")).withColumn("__side", lit(0))
+      struct(col(payload).as("v")).as("__p")).withColumn("__side", lit(0))
     val unioned = l.select((Seq(col(key), col(time), col("__side"), col("__p")) ++
       left.columns.filterNot(c => c == key || c == time)
         .map(c => left(c))): _*)
@@ -39,14 +50,15 @@ object AsOfJoin {
     // same-instant right row is visible to the left row (<= semantics).
     // __p breaks ties between right rows sharing (key, time): last(...)
     // then deterministically picks the MAX payload at the tied instant
-    // regardless of partitioning/run (left rows carry null __p, which
-    // sorts first under asc and never reorders across sides).
+    // regardless of partitioning/run (left rows carry a null struct,
+    // which sorts first under asc and never reorders across sides).
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(payload, last(col("__p"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col(payload).isNotNull)
-      .drop("__side", "__p")
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__m").isNotNull)
+      .withColumn(payload, col("__m").getField("v"))
+      .drop("__side", "__p", "__m")
   }
 }

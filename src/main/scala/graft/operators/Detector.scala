@@ -105,6 +105,36 @@ object Detector {
     // start(21b) | invLen(15b) | prio(7b) | pid(20b) — ascending sort =
     // (start asc, length desc, priority asc, pid asc), no tuple boxing
     val raw = model.ac.findAllPacked(lower)
+    if (lower.length >= (1 << 21)) {
+      // RARE path: `start` only has 21 bits in the packed sort key, so a
+      // match starting past char 2^21-1 would overflow into the sign bit
+      // and corrupt the leftmost-longest order (earlier matches silently
+      // skipped). Turns this long are pathological tool dumps — sort the
+      // few candidates boxed instead; same alignment, same order, same
+      // sweep (packed==boxed equality pinned by AutomatonScaleSpec).
+      val cs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      var rr = 0
+      while (rr < raw.length) {
+        val pid = (raw(rr) >>> 32).toInt
+        val end = (raw(rr) & 0xffffffffL).toInt
+        val start = end - model.ac.patterns(pid).length
+        if (java.util.Arrays.binarySearch(starts, start) >= 0 && isEnd(end))
+          cs += ((start, -(end - start), model.priority(pid), pid))
+        rr += 1
+      }
+      var occupiedUntil = -1
+      cs.sortBy(identity).foreach { case (s, _, _, pid) =>
+        val e = s + model.ac.patterns(pid).length
+        if (s >= occupiedUntil) {
+          occupiedUntil = e
+          val tag = model.tags(pid)
+          var k = java.util.Arrays.binarySearch(starts, s)
+          while (k < nToks && ends(k) <= e) { tags(k) = tag; k += 1 }
+          if (k < nToks && starts(k) < e) tags(k) = tag
+        }
+      }
+      return tags
+    }
     val cands = new Array[Long](raw.length)
     var nc = 0
     var r = 0
@@ -162,14 +192,22 @@ object Detector {
     val m = quotedSpan.matcher(t.text)
     val lower = t.text.toLowerCase(java.util.Locale.ROOT)
     while (m.find()) {
-      val inner = m.group(1).trim
+      // bounds track the TRIMMED surface (String.trim's rule: <= ' '), so
+      // the invariant every mention source keeps — text == slice(start,
+      // end) — holds for padded quotes like "he said \" Ghost Rule \""
+      // too; group bounds over the padding would make offset consumers
+      // (evidence slicing, span-identity dedup) see a different surface
+      // than Mention.text
+      var s = m.start(1); var e = m.end(1)
+      while (s < e && t.text.charAt(s) <= ' ') s += 1
+      while (e > s && t.text.charAt(e - 1) <= ' ') e -= 1
+      val inner = t.text.substring(s, e)
       val innerLower = inner.toLowerCase(java.util.Locale.ROOT)
       // skip spans the gazetteer already covers (union, not duplicate)
       val known = model.ac.findAllPacked(innerLower).exists { p =>
         model.ac.patterns((p >>> 32).toInt) == innerLower
       }
       if (inner.nonEmpty && !known) {
-        val s = m.start(1); val e = m.end(1)
         out += Mention(t.conv_id, t.turn_idx, "ALT_TITLE", inner, s, e,
           "regex:quoted", 0.6)
       }

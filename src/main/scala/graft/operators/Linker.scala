@@ -24,8 +24,19 @@ object Linker {
   final case class Dict(exact: Map[String, String],
       normalized: Map[String, String]) extends Serializable
 
+  /** Normalization for the 0.7 lookup rung and the sf: surface ids:
+    * lowercase (Locale.ROOT), then strip every CODEPOINT outside
+    * \p{L}\p{N} — the same character rule as Canonicalize.normKey, so a
+    * pair of surfaces canonicalization merges under one normalized key
+    * cannot carry two different sf: ids. Regex, not a per-Char filter:
+    * Char.isLetterOrDigit strips astral-plane letters (each surrogate
+    * half fails it) and misses \p{Nl}/\p{No} numerals. Documented
+    * remaining divergence: the Spark-side normKey column lowers with ICU
+    * (Final_Sigma) where this executor-local path uses JDK lowercasing —
+    * executors cannot read the session's ICU conf. */
+  private val nonAlnum = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]")
   def norm(s: String): String =
-    s.toLowerCase(java.util.Locale.ROOT).filter(_.isLetterOrDigit)
+    nonAlnum.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
 
   def buildDict(entries: Seq[Gazetteer.Entry] = Gazetteer.entries): Dict = {
     val exact = Gazetteer.linkIndex

@@ -78,11 +78,16 @@ object Metrics {
   }
 
   /** O2 (src/model/train.py:159-161): shuffle + stable length sort, the
-    * uniform-work-per-batch trick; seeded rand replaces the reference's
-    * unseeded sample(frac=1). */
+    * uniform-work-per-batch trick; a seeded CONTENT hash replaces the
+    * reference's unseeded sample(frac=1). Not `rand(seed)`: Spark seeds
+    * rand per PARTITION (seed + partitionIndex), so its order changes
+    * with parallelism/repartitioning — xxhash64 over the row is the same
+    * pseudo-random tie-break under ANY partitioning, the determinism
+    * discipline the rest of the engine keeps. */
   def lengthSortedShuffle(df: DataFrame, arrayCol: String,
       seed: Long = 42L): DataFrame =
-    df.orderBy(size(col(arrayCol)), rand(seed))
+    df.orderBy(size(col(arrayCol)),
+      xxhash64(lit(seed) +: df.columns.map(col): _*))
 
   /** O4 (src/config/config.py:17): per-row truncation cap — a per-row
     * LIMIT, not a global one. */

@@ -45,9 +45,17 @@ object SkewSalting {
       chunkSize: Int, overlap: Int, maxHotConvs: Int = 100000): Dataset[SaltedTurn] = {
     import spark.implicits._
     require(overlap <= chunkSize, "overlap must fit in a chunk")
-    // pre-pass: conversations that need salting (tiny under Zipf)
-    val hotRows = decoded.groupBy("conv_id").count()
-      .where(col("count") > chunkSize)
+    // pre-pass: conversations that need salting (tiny under Zipf). The
+    // map value is the conversation's MAX turn_idx, not its row count:
+    // the context-row rule below asks "does any turn exist at or beyond
+    // the next chunk's start INDEX", and for a sparse/filtered turn_idx
+    // space the count under-states that (equal only when indices are
+    // contiguous from 0), silently suppressing overlap rows and losing
+    // links near chunk boundaries.
+    val hotRows = decoded.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), max("turn_idx").as("max_idx"))
+      .where(col("n") > chunkSize)
+      .select("conv_id", "max_idx")
       .take(maxHotConvs + 1)
     if (hotRows.length > maxHotConvs)
       throw new IllegalStateException(
@@ -56,9 +64,9 @@ object SkewSalting {
           "a driver-collected hot map. Raise chunkSize (so only true " +
           "outliers salt), raise maxHotConvs if the driver can hold the " +
           "map, or pre-chunk the input by (conv_id, turn range) instead.")
-    val hotSizes: Map[String, Long] =
-      hotRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hotB = spark.sparkContext.broadcast(hotSizes)
+    val hotMaxIdx: Map[String, Int] =
+      hotRows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    val hotB = spark.sparkContext.broadcast(hotMaxIdx)
     decoded.flatMap { d =>
       if (!hotB.value.contains(d.conv_id)) {
         Seq(SaltedTurn(d.conv_id, 0, is_ctx = false, d))
@@ -67,7 +75,7 @@ object SkewSalting {
         val base = Seq(SaltedTurn(d.conv_id, own, is_ctx = false, d))
         // also serve as context for the NEXT chunk if in its overlap window
         val nextStart = (own + 1) * chunkSize
-        if (d.turn_idx >= nextStart - overlap && nextStart < hotB.value(d.conv_id))
+        if (d.turn_idx >= nextStart - overlap && nextStart <= hotB.value(d.conv_id))
           base :+ SaltedTurn(d.conv_id, own + 1, is_ctx = true, d)
         else base
       }
@@ -99,16 +107,19 @@ object SkewSalting {
       maxHotConvs: Int = 100000): Dataset[Coref.CorefLink] = {
     import spark.implicits._
     require(window <= chunkSize, "overlap must fit in a chunk")
-    val hotRows = decoded.groupBy("conv_id").count()
-      .where(col("count") > chunkSize)
+    // max turn_idx (not row count) keys the context rule — see [[salt]]
+    val hotRows = decoded.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), max("turn_idx").as("max_idx"))
+      .where(col("n") > chunkSize)
+      .select("conv_id", "max_idx")
       .take(maxHotConvs + 1)
     if (hotRows.length > maxHotConvs)
       throw new IllegalStateException(
         s"corefSalted: more than $maxHotConvs conversations exceed " +
           s"chunkSize=$chunkSize — see SkewSalting.salt's guard rationale.")
-    val hotSizes: Map[String, Long] =
-      hotRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hotB = spark.sparkContext.broadcast(hotSizes)
+    val hotMaxIdx: Map[String, Int] =
+      hotRows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    val hotB = spark.sparkContext.broadcast(hotMaxIdx)
     decoded.flatMap { d =>
       val titles = d.entities.collect { case e if e.tag == "TITLE" => e.text }
       val ana = titles.isEmpty && d.text != null &&
@@ -120,7 +131,7 @@ object SkewSalting {
         val own = d.turn_idx / chunkSize
         val base = Seq(row(own, isCtx = false))
         val nextStart = (own + 1) * chunkSize
-        if (d.turn_idx >= nextStart - window && nextStart < hotB.value(d.conv_id))
+        if (d.turn_idx >= nextStart - window && nextStart <= hotB.value(d.conv_id))
           base :+ row(own + 1, isCtx = true)
         else base
       }

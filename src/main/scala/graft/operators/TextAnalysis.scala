@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace token count (cheap) — split on runs of whitespace. */
+  /** Whitespace token count (cheap) — split on runs of whitespace.
+    * Guarded for degenerate inputs: split("", ...) yields [""] (a phantom
+    * token that would count 1 and earn a nonzero quality length score),
+    * and size(null) is -1 — both must read as zero tokens. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: words + digits + punctuation pieces, the
     * classic GPT-2-style pre-tokenizer shape (approximation; exact BPE
@@ -59,7 +63,11 @@ object TextAnalysis {
     val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+    // a token-free doc has NO quality — without the guard it would bank
+    // the full punctScore (no text, no punctuation soup) and outrank
+    // genuinely low-quality text
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4))
   }
 
   /**

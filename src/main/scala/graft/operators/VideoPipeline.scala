@@ -49,19 +49,28 @@ object VideoPipeline {
           n.getField("type").as("type"))))
   }
 
-  /** F1 as a projection: tokens with offsets (array<struct<tok,start,end>>). */
+  /** F1 as a projection: tokens with offsets (array<struct<tok,start,end>>)
+    * in UTF-16 units — the engine-internal slicing space. */
   def tokenized(spark: SparkSession, docs: DataFrame): DataFrame = {
     val tok = udf((text: String) => PyText.tokenizeWithOffsets(text))
     docs.withColumn("tokens", tok(col("text")))
   }
 
   /** Long-format token rows ready for [[LabelAlign.align]]: with our
-    * whole-word tokenizer, word_id == pos. */
-  def tokenRows(spark: SparkSession, docs: DataFrame, docKey: String): DataFrame =
-    tokenized(spark, docs)
+    * whole-word tokenizer, word_id == pos. Offsets are CODEPOINT indices
+    * (PyText.tokenizeWithOffsetsCp): the NER spans these rows join
+    * against come from the reference's records, whose start/end are
+    * Python string indices — and `preprocess`'s shift (Spark
+    * `length(title)`) counts codepoints too. UTF-16 token offsets here
+    * would silently mislabel every token after the first astral
+    * character in a title or description. */
+  def tokenRows(spark: SparkSession, docs: DataFrame, docKey: String): DataFrame = {
+    val tokCp = udf((text: String) => PyText.tokenizeWithOffsetsCp(text))
+    docs.withColumn("tokens", tokCp(col("text")))
       .select(col(docKey).as("doc"), posexplode(col("tokens")))
       .select(col("doc"), col("pos"), col("pos").as("word_id"),
         col("col.start").as("tok_start"), col("col.end").as("tok_end"))
+  }
 
   /** Spans in LabelAlign shape; `ner_idx` preserves the NER list order
     * (the reference's first-match-wins tiebreak, tokenize.py:27-34). */

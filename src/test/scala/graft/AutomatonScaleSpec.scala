@@ -66,4 +66,20 @@ class AutomatonScaleSpec extends AnyFunSuite {
     assert(byTok("Senbonzakura") == "TITLE")
     assert(byTok("Miku") == "VOCALOID")
   }
+
+  test("tags survive match offsets beyond the packed key's 2^21-char bound") {
+    // the packed candidate sort key holds start in 21 bits; a longer turn
+    // (a pathological tool dump) takes the boxed rare path — tags for
+    // content past the boundary must equal the same content unshifted
+    val model = Detector.buildModel()
+    val base = "check out Senbonzakura covered by Hatsune Miku"
+    val text = base + (" " * ((1 << 21) + 7)) + base
+    val toks = graft.functions.PyText.tokenizeWithOffsets(text)
+    val tags = Detector.tagTokens(model, text, toks)
+    val baseToks = graft.functions.PyText.tokenizeWithOffsets(base)
+    val baseTags = Detector.tagTokens(model, base, baseToks).toSeq
+    assert(toks.last.start > (1 << 21), "fixture must cross the bound")
+    assert(tags.toSeq == baseTags ++ baseTags,
+      "tags diverged across the 2^21 offset boundary")
+  }
 }

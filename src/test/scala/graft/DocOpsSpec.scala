@@ -167,6 +167,20 @@ class DocOpsSpec extends SparkSuite {
       out(0L).getAs[Double]("quality") <= 1.0)
   }
 
+  test("text analysis: empty/whitespace/null text counts zero tokens") {
+    import spark.implicits._
+    // split('', ...) yields [''] — a phantom token that would count 1 and
+    // earn a nonzero quality length score; size(null) is -1
+    val degenerate = Seq((1L, ""), (2L, "   "), (3L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(degenerate).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id).getAs[Int]("n_tokens") == 0, s"doc $id")
+      assert(out(id).getAs[Double]("quality") == 0.0, s"doc $id")
+    }
+  }
+
   test("multimodal plumbing: stub decode + histogram + frame sampling") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(docs)

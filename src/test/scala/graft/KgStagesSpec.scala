@@ -21,6 +21,12 @@ class KgStagesSpec extends SparkSuite {
     // normalized match: punctuation-stripped surface still links
     val nm = Linker.linkOne(dict, m("ORIGINAL_AUTHOR", "deco 27"), Set("user"))
     assert(nm.entity_id == Gazetteer.linkIndex("deco*27") && nm.link_score == 0.7)
+    // codepoint-aware normalization (same character rule as
+    // Canonicalize.normKey): astral-plane letters and non-decimal
+    // numerals survive — a per-Char isLetterOrDigit filter strips both
+    val dd = new String(Character.toChars(0x1D544)) // MATH DOUBLE-STRUCK M
+    assert(Linker.norm(s"${dd}elt!") == s"${dd}elt")
+    assert(Linker.norm("Chapter Ⅻ") == "chapterⅻ") // Ⅻ -> ⅻ (Nl)
   }
 
   test("coref: anaphor resolves to most recent TITLE within window") {
@@ -158,6 +164,16 @@ class KgStagesSpec extends SparkSuite {
       Seq(("ALT_TITLE", "Totally New Song"))) // known title NOT duplicated
     assert(ms.exists(m => m.detector == "gazetteer:ac" &&
       m.text == "Senbonzakura"))
+    // PADDED quotes: bounds must track the trimmed surface so
+    // text == slice(start, end) holds for every mention source
+    val padded = Seq(Turn("c2", 0, "user",
+      "press play on \" Neon Cascade Drift \" when it loads", null, ts)).toDS()
+    val pm = Pipeline.mentionsAll(spark, padded).collect()
+      .filter(_.detector == "regex:quoted")
+    assert(pm.length == 1 && pm.head.text == "Neon Cascade Drift")
+    val src = "press play on \" Neon Cascade Drift \" when it loads"
+    assert(src.substring(pm.head.start, pm.head.end) == pm.head.text,
+      s"span (${pm.head.start},${pm.head.end}) does not slice the surface")
   }
 
   test("nulls and empties flow through extract without errors") {

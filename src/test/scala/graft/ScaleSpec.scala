@@ -19,6 +19,17 @@ class ScaleSpec extends SparkSuite {
       chunkSize = 50).collect().toSet
     assert(plain.nonEmpty, "fixture must exercise coref")
     assert(salted == plain)
+    // SPARSE turn indices: the hot map keys the overlap rule on max
+    // turn_idx, not row count — a count proxy under-states the index
+    // space and silently drops context rows at chunk boundaries (an
+    // upstream filter leaving every other turn is enough to trip it)
+    val sparse = decoded.filter(d => d.turn_idx % 2 == 0)
+    val plainSparse = Coref.resolve(spark, sparse, window = 5)
+      .collect().toSet
+    val saltedSparse = SkewSalting.corefSalted(spark, sparse, window = 5,
+      chunkSize = 50).collect().toSet
+    assert(saltedSparse == plainSparse,
+      "salted coref diverged on a sparse turn_idx space")
   }
 
   test("salting guard: too many hot conversations fails loudly, not silently") {

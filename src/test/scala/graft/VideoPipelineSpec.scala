@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{VideoPipeline, Vocab, Metrics}
+import graft.operators.{AsOfJoin, VideoPipeline, Vocab, Metrics}
 import graft.functions.TextFeatures
 import graft.sources.Tables
 
@@ -121,6 +121,51 @@ class VideoPipelineSpec extends SparkSuite {
     val b = Metrics.lengthSortedShuffle(df, "xs").collect().toSeq
     assert(a == b)
     assert(a.map(_.getSeq[Int](0).size) == Seq(1, 2, 3))
+    // ...and under ANY partitioning: rand(seed) would seed per partition
+    // and reorder equal-length ties when parallelism changes — the
+    // content-hash tie-break must not
+    val wide = (1 to 40).map(i => Seq.fill(3)(i)).toDF("xs")
+    val p1 = Metrics.lengthSortedShuffle(wide.coalesce(1), "xs")
+      .collect().toSeq
+    val p8 = Metrics.lengthSortedShuffle(wide.repartition(8), "xs")
+      .collect().toSeq
+    assert(p1 == p8, "shuffle order changed with partitioning")
+  }
+
+  test("as-of join: null right payload is a MATCH, not a carry of older rows") {
+    import spark.implicits._
+    val left = Seq(("k", 6L, "l1"), ("k", 0L, "l0")).toDF("key", "t", "lv")
+    val right = Seq(("k", 1L, Some("a")), ("k", 5L, None))
+      .toDF("key", "t", "payload")
+    val out = AsOfJoin.asOf(left, right, "key", "t", "payload")
+      .orderBy("t").collect()
+    // t=0 precedes every right row -> dropped (inner as-of); t=6's as-of
+    // row is (t=5, payload=null) — it must surface that null, not reach
+    // back to (t=1, "a")
+    assert(out.length == 1 && out(0).getAs[String]("lv") == "l1")
+    assert(out(0).isNullAt(out(0).fieldIndex("payload")),
+      s"expected the t=5 null-payload match, got ${out(0)}")
+  }
+
+  test("token rows join reference spans in codepoint space (astral-safe)") {
+    import spark.implicits._
+    // title starts with an astral char (musical clef, 1 codepoint = 2
+    // UTF-16 units): reference NER spans index CODEPOINTS, so token
+    // offsets must too or every span after the clef is off by one
+    val note = new String(Character.toChars(0x1D11E))
+    val vids = Seq(
+      ("v9", s"$note Senbonzakura cover", "plain words only",
+        Seq((2, 14, "title", "Senbonzakura", "TITLE"))))
+      .toDF("yt_id", "title", "description", "ner0")
+      .withColumn("ner", transform(col("ner0"), n => struct(
+        n.getField("_1").as("start"), n.getField("_2").as("end"),
+        n.getField("_3").as("source"), n.getField("_4").as("entry"),
+        n.getField("_5").as("type"))))
+      .drop("ner0")
+    val labeled = VideoPipeline.prepare(spark, vids).collect()
+    // exactly the Senbonzakura token lands inside its span (UTF-16 token
+    // offsets would shift it out and label nothing)
+    assert(labeled.count(_.getInt(2) != 0) == 1, labeled.mkString(","))
   }
 
   test("predict(): serving-path parity vs the reference oracle, channel me-sub") {

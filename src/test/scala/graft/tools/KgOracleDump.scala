@@ -443,11 +443,17 @@ object KgOracleDump {
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(String, Int, String, String, Int, Int, String)]
           while (m.find()) {
-            val inner = m.group(1).trim
+            // bounds follow the TRIMMED surface (String.trim's <= ' '
+            // rule) so text == slice(start, end) — same spec as
+            // Detector.regexMentions, transcribed independently
+            var s = m.start(1); var e = m.end(1)
+            while (s < e && t.text.charAt(s) <= ' ') s += 1
+            while (e > s && t.text.charAt(e - 1) <= ' ') e -= 1
+            val inner = t.text.substring(s, e)
             if (inner.nonEmpty &&
               !gazLower.contains(inner.toLowerCase(java.util.Locale.ROOT)))
               out += ((t.conv_id, t.turn_idx, "ALT_TITLE", inner,
-                m.start(1), m.end(1), "regex:quoted"))
+                s, e, "regex:quoted"))
           }
           out.toSeq
         }
@@ -491,8 +497,22 @@ object KgOracleDump {
     // fallback — Linker.linkOne semantics). Gazetteer tables are shared
     // DATA (like the fixture texts); the ladder logic is re-implemented.
     val linkRows: Seq[(String, Int, String, String, String, Double)] = {
-      def normL(s2: String): String =
-        s2.toLowerCase(java.util.Locale.ROOT).filter(_.isLetterOrDigit)
+      // independent transcription of Linker.norm's spec (lowercase, keep
+      // \p{L}\p{N} codepoints): explicit codepoint walk, no shared regex
+      def normL(s2: String): String = {
+        val lower = s2.toLowerCase(java.util.Locale.ROOT)
+        val sb = new java.lang.StringBuilder(lower.length)
+        var i = 0
+        while (i < lower.length) {
+          val cp = lower.codePointAt(i)
+          val t = Character.getType(cp)
+          if (Character.isLetter(cp) || Character.isDigit(cp) ||
+            t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER)
+            sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+        sb.toString
+      }
       val exactIdx = graft.Gazetteer.linkIndex
       val normIdx: Map[String, String] = {
         val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
