@@ -221,6 +221,10 @@ object Pipeline {
     * Resume: per-batch stage names mean a killed batch re-invoked with
     * the same `batchId` skips its committed stages, exactly like
     * [[runCheckpointed]]; `parentSnapshot` chains record the batch DAG.
+    * Replays are supported at the HEAD batch (a completed head replays
+    * as a pure read-back, even after [[gcBatchArtifacts]]); a BELOW-head
+    * batch whose view snapshots were folded/GC'd fails fast with a
+    * superseded-batch error rather than recomputing committed history.
     * Returns (triplesAll, nodes, edges) read back from snapshots. */
   def runIncremental(spark: SparkSession, newTurns: Dataset[Turn],
       ckptRoot: String, batchId: Int,
@@ -230,15 +234,18 @@ object Pipeline {
     import graft.sources.IcebergishTable.{stage, read, isCommitted}
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val prevForms = s"surface_forms_b${batchId - 1}"
-    // Ordering holds if the PREVIOUS batch's forms chain is committed —
-    // or if THIS batch already completed its own forms snapshot: a
-    // streaming replay of a finished batch after [[gcBatchArtifacts]]
-    // deleted the superseded prev-forms manifest must skip through, not
-    // crash-loop (the replay re-pays decode, as that GC documents, and
-    // every still-committed stage is skipped by its manifest).
-    require(batchId == 0 || isCommitted(ckptRoot, prevForms) ||
-        isCommitted(ckptRoot, s"surface_forms_b$batchId"),
-      s"no committed $prevForms under $ckptRoot — batches commit in order")
+    // Ordering gate: the previous batch must have COMPLETED (not merely
+    // committed its forms — forms commit several stages before edges, so
+    // a forms-only check would let batch b+1 run while batch b is still
+    // in flight, making [[batchCompleted]]'s forms-head proxy unsound:
+    // compaction could then fold an in-flight batch's snapshots).
+    // [[batchCompleted]] itself also covers the replay cases: a replay of
+    // a finished head batch after [[gcBatchArtifacts]] deleted the
+    // below-head edges manifests passes via its own committed forms head.
+    require(batchId == 0 || batchCompleted(ckptRoot, batchId - 1),
+      s"batch ${batchId - 1} has not completed under $ckptRoot (no " +
+        "committed edges snapshot and no committed forms head beyond it) " +
+        "— batches run strictly in order; resume the previous batch first")
     // A COMPLETED batch replays as a pure READ-BACK: nothing recomputes
     // (a post-GC replay does not even re-pay decode) and nothing
     // superseded is resurrected — without this, a replay after
@@ -251,6 +258,23 @@ object Pipeline {
         read(spark, ckptRoot, s"nodes_b$batchId"),
         read(spark, ckptRoot, s"edges_b$batchId"))
     }
+    // A batch whose view snapshots are gone but which a LATER batch's
+    // committed forms supersede has already completed (the ordering gate
+    // above means a successor only ever started after it returned) and
+    // been folded/GC'd. Recomputing it here would re-commit convs_b /
+    // triples_b BELOW their compaction generations (committed garbage no
+    // reader unions) and crash on the GC'd prev-forms read — fail fast
+    // with the actual state instead. Replays are only supported at the
+    // HEAD batch, where GC keeps the view snapshots for pure read-back.
+    val supersededBy = dirIds(ckptRoot, "surface_forms_b")
+      .filter(j => j > batchId &&
+        isCommitted(ckptRoot, s"surface_forms_b$j")).maxOption
+    if (supersededBy.isDefined)
+      throw new IllegalStateException(
+        s"batch $batchId already completed and was superseded by batch " +
+          s"${supersededBy.get}; its view snapshots were folded/GC'd, so " +
+          "a replay has nothing to resume — read the head batch's " +
+          "nodes/edges instead")
     // The guard validates a batch's FIRST execution; a replay of an
     // already-validated batch (its convs_b or forms_b snapshot is
     // committed — convs_b commits only after the guard passed) skips it,
@@ -339,11 +363,12 @@ object Pipeline {
     * `upToBatch` into one `convs_compact_<g>` generation — same
     * crash-safe commit-then-GC ordering as [[compactTriples]], same
     * small-file rationale (the disjointness guard otherwise unions one
-    * tiny snapshot per batch forever). Completion (edges committed) is
-    * REQUIRED, not just convenient: it guarantees any replay of a folded
-    * batch is detected by the guard's replay skip (forms_b committed),
-    * so folding the batch's own convs into the registry can never make
-    * the guard fire on its legitimate replay. */
+    * tiny snapshot per batch forever). Completion is REQUIRED, not just
+    * convenient: a folded HEAD batch's replay is detected before the
+    * guard (pure read-back, or the forms_b replay skip), and a folded
+    * BELOW-head batch's replay fails fast on [[runIncremental]]'s
+    * superseded-batch check — so folding a batch's own convs into the
+    * registry can never make the guard fire on a legitimate replay. */
   /** Snapshot ids present under `root` whose directory name is
     * `<prefix><int>` (committed or not — callers filter). Shared by the
     * completion proxy and the folded-read diagnostics. */
@@ -362,11 +387,14 @@ object Pipeline {
   /** Has batch `b` completed? Direct evidence is its committed edges
     * snapshot; after [[gcBatchArtifacts]] deleted below-head graph
     * manifests, a committed `surface_forms_b<j>` with j STRICTLY beyond b
-    * proves it too (batch j only starts after batch b returned — forms
-    * commit strictly in order). j == b proves nothing: batch b itself
-    * commits its forms several stages before its edges, so an in-flight
-    * or crashed batch would read as "completed" and [[compactConvs]] /
-    * [[compactTriples]] would fold snapshots its resume still needs. */
+    * proves it too — batch j only starts after batch b returned, a
+    * premise [[runIncremental]]'s entry gate ENFORCES (it requires the
+    * previous batch completed, not merely forms-committed, so a crashed
+    * batch can never gain a successor that would fake its completion).
+    * j == b proves nothing: batch b itself commits its forms several
+    * stages before its edges, so an in-flight or crashed batch would
+    * read as "completed" and [[compactConvs]] / [[compactTriples]] would
+    * fold snapshots its resume still needs. */
   private def batchCompleted(root: String, b: Int): Boolean = {
     import graft.sources.IcebergishTable.isCommitted
     isCommitted(root, s"edges_b$b") ||
@@ -498,14 +526,17 @@ object Pipeline {
     * readable history until [[compactTriples]] folds them.
     *
     * Tradeoff made explicit: a STREAMING REPLAY of an already-complete
-    * batch (checkpoint lost the offset commit after foreachBatch
+    * HEAD batch (checkpoint lost the offset commit after foreachBatch
     * succeeded) would have skipped every stage via these manifests; after
     * GC it replays as a pure READ-BACK: [[runIncremental]] detects the
-    * completed batch (committed nodes+edges) and returns the snapshots
-    * without recomputing anything — no decode re-pay, no tripping on
-    * the GC'd prev-forms manifest, no resurrection of superseded
-    * snapshots (KgStagesSpec pins it). Only a PARTIALLY-complete batch
-    * resumes compute, and then only its uncommitted stages. The
+    * completed batch (committed nodes+edges — this GC keeps the head's)
+    * and returns the snapshots without recomputing anything — no decode
+    * re-pay, no tripping on the GC'd prev-forms manifest, no
+    * resurrection of superseded snapshots (KgStagesSpec pins it). A
+    * BELOW-head batch loses its view snapshots here, so its replay fails
+    * fast with [[runIncremental]]'s superseded-batch error instead.
+    * Only a PARTIALLY-complete head batch resumes compute, and then
+    * only its uncommitted stages. The
     * convs_b registries are not GC'd here — the disjointness guard
     * must see every prior conversation; [[compactConvs]] folds them
     * into generations instead. */

@@ -132,8 +132,11 @@ object SparkEntry {
         null, ts),
       // PADDED quotes: the regex group spans the spaces, the mention must
       // carry the TRIMMED surface with bounds that still slice it — the
-      // text==slice(start,end) invariant would otherwise go ungated
-      graft.Schemas.Turn("zfix0001", 0, "user",
+      // text==slice(start,end) invariant would otherwise go ungated.
+      // Fresh conv id: linkerFixtureTurns already owns (zfix0001, 0), and
+      // a duplicate (conv_id, turn_idx) key would collide in any consumer
+      // keyed per turn (coref ordering, streaming dedup)
+      graft.Schemas.Turn("zfix0002", 0, "user",
         "press play on \" Neon Cascade Drift \" when it loads", null, ts))
   }
 
@@ -1179,7 +1182,7 @@ object SparkEntry {
          FROM (VALUES
   ('ALBUM', 'gazetteer:ac', 579, 1289481263807),
   ('ALT_TITLE', 'gazetteer:ac', 287, 608001000748),
-  ('ALT_TITLE', 'regex:quoted', 3, 5051197826),
+  ('ALT_TITLE', 'regex:quoted', 3, 4499026910),
   ('FEATURING', 'gazetteer:ac', 302, 663115259026),
   ('MISC_PERSON', 'gazetteer:ac', 284, 599234932704),
   ('MODIFIER', 'gazetteer:ac', 861, 1818676649955),
@@ -1195,7 +1198,7 @@ object SparkEntry {
       // normalized-lookup rung is no longer vacuously green.
       """SELECT score::DOUBLE AS link_score, n::BIGINT AS n,
          ne::BIGINT AS n_entities, h::BIGINT AS hashsum FROM (VALUES
-  (0.5, 102, 98, 226649875920),
+  (0.5, 102, 98, 226138602684),
   (0.7, 2, 2, 868914776),
   (0.9, 675, 2, 1464734101828),
   (1.0, 6589, 111, 14247553674402)) AS t(score, n, ne, h)""",

@@ -119,7 +119,11 @@ object Detector {
         val end = (raw(rr) & 0xffffffffL).toInt
         val start = end - model.ac.patterns(pid).length
         if (java.util.Arrays.binarySearch(starts, start) >= 0 && isEnd(end))
-          cs += ((start, -(end - start), model.priority(pid), pid))
+          // clamp length/priority EXACTLY like the packed key below —
+          // out-of-range values (a >32767-char pattern, a priority
+          // outside [0,127]) must tie-break identically on both paths
+          cs += ((start, -math.min(end - start, (1 << 15) - 1),
+            math.min(math.max(model.priority(pid), 0), (1 << 7) - 1), pid))
         rr += 1
       }
       var occupiedUntil = -1
@@ -190,7 +194,6 @@ object Detector {
     if (t.text == null) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
     val m = quotedSpan.matcher(t.text)
-    val lower = t.text.toLowerCase(java.util.Locale.ROOT)
     while (m.find()) {
       // bounds track the TRIMMED surface (String.trim's rule: <= ' '), so
       // the invariant every mention source keeps — text == slice(start,

@@ -83,11 +83,27 @@ object Metrics {
     * rand per PARTITION (seed + partitionIndex), so its order changes
     * with parallelism/repartitioning — xxhash64 over the row is the same
     * pseudo-random tie-break under ANY partitioning, the determinism
-    * discipline the rest of the engine keeps. */
+    * discipline the rest of the engine keeps. Map-typed columns are left
+    * out of the hash (Spark's hash expressions reject MapType — its
+    * iteration order is undefined, the same reason maps can't be sort
+    * keys); rows identical on every non-map column keep an arbitrary
+    * relative order, which no downstream consumer can observe since the
+    * rows differ at most in map columns that compare unordered anyway. */
   def lengthSortedShuffle(df: DataFrame, arrayCol: String,
-      seed: Long = 42L): DataFrame =
-    df.orderBy(size(col(arrayCol)),
-      xxhash64(lit(seed) +: df.columns.map(col): _*))
+      seed: Long = 42L): DataFrame = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    df.orderBy(size(col(arrayCol)), xxhash64(lit(seed) +: cols.toSeq: _*))
+  }
 
   /** O4 (src/config/config.py:17): per-row truncation cap — a per-row
     * LIMIT, not a global one. */

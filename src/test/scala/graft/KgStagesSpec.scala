@@ -421,7 +421,7 @@ class KgStagesSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException] {
       Pipeline.runIncremental(spark, turns, root, batchId = 2)
     }
-    assert(ex.getMessage.contains("surface_forms_b1"))
+    assert(ex.getMessage.contains("batch 1 has not completed"))
     // overlapping conversations: the whole-conversation contract guard
     val ex2 = intercept[IllegalArgumentException] {
       Pipeline.runIncremental(spark, turns, root, batchId = 1,
@@ -596,6 +596,42 @@ class KgStagesSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("below-head replay after compaction+GC fails fast as superseded") {
+    import spark.implicits._
+    import graft.sources.IcebergishTable.isCommitted
+    val turns = TranscriptGen.generate(spark, 16L).persist()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val (c1, c2) = (convs(convs.length / 3), convs(2 * convs.length / 3))
+    val b0 = turns.filter(col("conv_id") < c1)
+    val b1 = turns.filter(col("conv_id") >= c1 && col("conv_id") < c2)
+    val b2 = turns.filter(col("conv_id") >= c2)
+    val r = Files.createTempDirectory("inc_superseded").toString
+    Pipeline.runIncremental(spark, b0, r, 0)
+    Pipeline.runIncremental(spark, b1, r, 1)
+    val (t2, n2, e2) = Pipeline.runIncremental(spark, b2, r, 2)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val (tr, nr, er) = (sortedRows(t2), sortedRows(n2), sortedRows(e2))
+    Pipeline.compactTriples(spark, r, 2)
+    Pipeline.compactConvs(spark, r, 2)
+    Pipeline.gcBatchArtifacts(r, 2)
+    // batch 1 completed long ago; its view snapshots are gone. A replay
+    // must fail with the superseded diagnosis BEFORE re-committing
+    // anything below the compaction generations (the old behavior: a
+    // partial expensive recompute, then a crash on the GC'd prev-forms)
+    val ex = intercept[IllegalStateException] {
+      Pipeline.runIncremental(spark, b1, r, 1)
+    }
+    assert(ex.getMessage.contains("superseded by batch 2"), ex.getMessage)
+    assert(!isCommitted(r, "convs_b1") && !isCommitted(r, "triples_b1"),
+      "superseded replay re-committed folded snapshots")
+    // the HEAD batch still replays as a pure read-back
+    val (t3, n3, e3) = Pipeline.runIncremental(spark, b2, r, 2)
+    assert(sortedRows(t3) == tr && sortedRows(n3) == nr &&
+      sortedRows(e3) == er, "head replay diverged after compaction+GC")
+    turns.unpersist()
+  }
+
   test("compaction refuses to fold behind an in-flight batch") {
     import spark.implicits._
     import graft.sources.IcebergishTable
@@ -622,6 +658,13 @@ class KgStagesSpec extends SparkSuite {
       Pipeline.compactTriples(spark, r, 1)
     }
     assert(exT.getMessage.contains("not completed"), exT.getMessage)
+    // ...and the NEXT batch refuses to start behind it: if batch 2 could
+    // run now, its committed forms head would fake batch 1's completion
+    // and legalize exactly the fold rejected above
+    val exN = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, b1, r, 2)
+    }
+    assert(exN.getMessage.contains("has not completed"), exN.getMessage)
     // ...but the batch BEHIND the in-flight one is provably complete via
     // the forms head (j = 1 > 0), even though batch 1 never finished
     Pipeline.compactTriples(spark, r, 0)

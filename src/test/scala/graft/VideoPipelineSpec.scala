@@ -130,6 +130,13 @@ class VideoPipelineSpec extends SparkSuite {
     val p8 = Metrics.lengthSortedShuffle(wide.repartition(8), "xs")
       .collect().toSeq
     assert(p1 == p8, "shuffle order changed with partitioning")
+    // map-typed columns stay OUT of the tie-break hash (Spark's hash
+    // exprs reject MapType) — the operator must accept any schema, as
+    // rand(seed) did
+    val withMap = Seq((Seq(1, 2), Map("a" -> 1)), (Seq(3), Map("b" -> 2)))
+      .toDF("xs", "feats")
+    val m = Metrics.lengthSortedShuffle(withMap, "xs").collect().toSeq
+    assert(m.map(_.getSeq[Int](0).size) == Seq(1, 2))
   }
 
   test("as-of join: null right payload is a MATCH, not a carry of older rows") {
