@@ -230,18 +230,67 @@ object DocDedup {
     verifyJaccard(documents, cands, k, threshold)
   }
 
+  /** Single-pass JVM twin of the old 64-HOF simhash column, called via
+    * StaticInvoke on the ALREADY `lower(trim(text))`-folded column (case/
+    * trim semantics stay Spark's own). Tokens = maximal non-`\s` runs,
+    * exactly the old `filter(split(lowered, "\\s+"), _ =!= "")`; per-token
+    * hash = Spark's own xxhash64 (XXH64.hashUTF8String, seed 42 — the
+    * value the XxHash64 expression uses), so signatures are bit-identical.
+    * Null text: the old chain's per-bit aggregates went null and every
+    * bit fell to `otherwise(0L)` — signature 0L, NOT null. */
+  def simhash64FromLowered(lt: org.apache.spark.unsafe.types.UTF8String): Long = {
+    if (lt == null) return 0L
+    val s = lt.toString
+    val votes = new Array[Int](64)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+          c == '\r') {
+        i += 1
+      } else {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j)
+          !(d == ' ' || d == '\t' || d == '\n' || d == '\u000B' ||
+            d == '\f' || d == '\r')
+        }) j += 1
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, j)),
+          42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i = j
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash from word hashes (unweighted): bit j of the signature
     * is the sign of sum over tokens of (bit j of xxhash64(token) ? 1 : -1).
-    * Row-local, built-ins only. */
+    *
+    * r06: was 64 `aggregate` higher-order functions (one per bit), each
+    * re-walking the token array — HOFs are CodegenFallback, so the whole
+    * projection ran interpreted and the 64-way expression tree alone cost
+    * ~1s of analysis/codegen on first run. Now one codegen'd StaticInvoke
+    * ([[simhash64FromLowered]] pins the equivalence). */
   def simhash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1,
-          1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+    import org.apache.spark.sql.GraftShims.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      DocDedup.getClass,
+      org.apache.spark.sql.types.LongType, "simhash64FromLowered",
+      Seq(toExpression(lower(trim(text)))), Nil,
+      propagateNull = false, returnNullable = false))
   }
 
   /** Hamming distance between two 64-bit signatures. */

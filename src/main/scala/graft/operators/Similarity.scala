@@ -24,14 +24,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Row-local cosine between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
-  }
+  /** Row-local cosine between two float/double-array columns.
+    *
+    * r06: was `when(na > 0 && nb > 0, dot / (na * nb)).otherwise(0.0)`
+    * over `aggregate`/`zip_with` higher-order functions — HOFs are
+    * CodegenFallback, so every candidate pair paid interpreted lambda
+    * evaluation + element boxing (the dominant cost of the LSH/IVF
+    * verification stages). [[graft.functions.CosineSim]] is the same
+    * arithmetic (same null/length/float-widening quirks, documented and
+    * pinned there) as one codegen'd flat loop. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
 
   /** splitmix64 -> uniform double in [-1, 1), pure function of (seed, i, j). */
   private def gaussianish(seed: Long, i: Int, j: Int): Double = {
