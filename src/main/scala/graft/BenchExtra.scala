@@ -76,6 +76,45 @@ object BenchExtra {
             plan.getBytes("UTF-8"))
           System.err.println(s"[plans] wrote $outDir/${name}_$suffix.txt")
         }
+      case "jobs" =>
+        // per-job attribution: run each selected query once with a
+        // listener recording every Spark job's wall time + first stage
+        // name, so multi-job queries (iterative CC, checkpoint chains)
+        // show where their seconds go
+        val events = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, String)]()
+        val done = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, Long, String)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            events.put(js.jobId, (js.time, desc))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = events.remove(je.jobId)
+            if (s != null) done.add((je.jobId, je.time - s._1, s._2))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        selected.foreach { case (name, fn) =>
+          done.clear()
+          System.gc()
+          val sec = try time(fn(spark, sfDir).count())
+          catch { case _: Throwable => -1.0 }
+          Thread.sleep(200) // listener events drain asynchronously
+          import scala.jdk.CollectionConverters._
+          val jobs = done.asScala.toSeq.sortBy(_._1)
+          System.err.println(f"[jobs] $name total=$sec%.3f " +
+            s"njobs=${jobs.size}")
+          jobs.foreach { case (id, ms, desc) =>
+            System.err.println(f"[jobs]   job=$id%-4d ${ms / 1000.0}%6.3fs  $desc")
+          }
+        }
+        spark.sparkContext.removeSparkListener(listener)
       case m =>
         val useNoop = m == "noop"
         val results = selected.map { case (name, fn) =>

@@ -829,7 +829,8 @@ object SparkEntry {
           mentions.where(crc32(col("conv_id")) % 2 === 0)),
         Canonicalize.surfaceForms(
           mentions.where(crc32(col("conv_id")) % 2 === 1)))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy (r06): materialized by the single
+        // limit-collect in canonicalMapFromForms' driver path
       val canonMap = Canonicalize.canonicalMapFromForms(s, forms)
       val t = Triples.triples(s, decodedPrefix(s, 300L)).toDF()
       val unioned = t.where(crc32(col("conv_id")) % 2 === 0)
@@ -861,7 +862,7 @@ object SparkEntry {
       val b1 = mentions.where(crc32(col("conv_id")) % 2 === 1)
       val forms = Canonicalize.mergeForms(
         Canonicalize.surfaceForms(b0),
-        Canonicalize.surfaceForms(b1)).localCheckpoint()
+        Canonicalize.surfaceForms(b1)).localCheckpoint(false) // lazy, as above
       Canonicalize.nodes(s, Canonicalize.canonicalMapFromForms(s, forms))
         .toDF()
         .select(col("node_id"), col("canonical"), col("type"),

@@ -456,7 +456,11 @@ object Canonicalize {
     // the thresholds — a truly corpus-scale surface universe — the
     // iterative pointer-jumping path below takes over unchanged.
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nV = vertices.count()
+    // r06: when the caller FORCES the iterative path (driverMaxVertices=0,
+    // the q_connected_components gate's contract), the hybrid decision is
+    // already made — don't pay a vertices.count() job for it (&& below
+    // already short-circuits the edge count)
+    val nV = if (driverMaxVertices > 0) vertices.count() else Long.MaxValue
     if (nV <= driverMaxVertices && e0.count() <= driverMaxEdges) {
       import spark.implicits._
       val vs = vertices.select(col("id")).as[String].collect()
@@ -494,11 +498,16 @@ object Canonicalize {
     // short bounded stage and the checkpointed pipeline retries it from
     // the previous stage snapshot); swap for reliable checkpoint() to a
     // cluster FS if executor churn is expected.
+    // r06: LAZY localCheckpoints (eager = false) throughout the loop —
+    // they still truncate lineage, but materialization folds into the
+    // round's convergence-check job instead of an extra eager job per
+    // checkpoint; on the tiny forced-iterative gate graph this halves the
+    // job count (each small job is ~0.1-0.3s of pure scheduler tax).
     val sym = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -525,7 +534,8 @@ object Canonicalize {
           (propagated("chg_prop") ||
             (col("pcomp").isNotNull && col("pcomp") < propagated("component")))
             .as("changed"))
-        .localCheckpoint() // cut lineage every iteration
+        .localCheckpoint(false) // cut lineage every iteration (lazy: the
+      // convergence check below is the job that materializes the blocks)
       converged = next.where(col("changed")).limit(1).count() == 0
       labels = next.select(col("id"), col("component"))
       iter += 1
@@ -560,7 +570,11 @@ object Canonicalize {
       maxCanopySize: Int = 100000,
       driverMaxVertices: Long = 200000L,
       driverMaxEdges: Long = 2000000L): DataFrame =
-    canonicalMapFromForms(spark, surfaceForms(mentions).localCheckpoint(),
+    // lazy checkpoint (r06): still truncates lineage and caches the forms
+    // for the multi-evaluation distributed path, but the driver fast
+    // path's single limit-collect is now the job that materializes it —
+    // the old eager form cost one extra full job per canonicalMap call
+    canonicalMapFromForms(spark, surfaceForms(mentions).localCheckpoint(false),
       maxCanopySize, driverMaxVertices, driverMaxEdges)
 
   /** Merge two surface-form aggregates by summing mention counts.
@@ -577,10 +591,11 @@ object Canonicalize {
   /** [[canonicalMap]] over an ALREADY-AGGREGATED surface-form table
     * (tag, surface, n_mentions) — the entry point for incremental
     * maintenance, where forms arrive pre-merged via [[mergeForms]] rather
-    * than re-aggregated from the full mention corpus. The forms plan is
-    * evaluated more than once (count + collect on the driver path; idf +
-    * join on the distributed path) — pass a materialized table (a
-    * checkpoint read or `localCheckpoint()`), as [[canonicalMap]] does. */
+    * than re-aggregated from the full mention corpus. The driver fast
+    * path evaluates the forms plan exactly once (a single limit-collect);
+    * the DISTRIBUTED path evaluates it several times (idf + blocking +
+    * join) — pass a materialized or checkpointed table (a lazy
+    * `localCheckpoint(false)` suffices), as [[canonicalMap]] does. */
   def canonicalMapFromForms(spark: SparkSession, forms: DataFrame,
       maxCanopySize: Int = 100000,
       driverMaxVertices: Long = 200000L,
@@ -599,9 +614,21 @@ object Canonicalize {
     // aliasMatch, utf8Compare, refineCanopy) plus JVM twins of the
     // column fns (normKeyJvm/substrCp/reverseCp), and KgStagesSpec pins
     // driver == distributed on the real alias graph.
-    if (forms.count() <= driverMaxVertices) {
-      val rows = forms.select(col("tag"), col("surface"), col("n_mentions"))
-        .as[(String, String, Long)].collect()
+    // r06: ONE limit-collect decides the hybrid AND fetches the rows —
+    // limit(max+1) returns the whole table iff it has <= max rows, so the
+    // old count() + collect() pair (two jobs over the forms table per
+    // canonicalMap call) folds into a single job; an oversized table
+    // ships at most max+1 rows before the distributed path takes over.
+    // Row ORDER is irrelevant: the union-find edge set is order-free and
+    // the refinement output is re-sorted (component asc, members by the
+    // pinned (n_mentions, length, surface) order) below.
+    val cap =
+      if (driverMaxVertices >= Int.MaxValue - 1) Int.MaxValue
+      else driverMaxVertices.toInt + 1
+    val collected = forms.select(col("tag"), col("surface"), col("n_mentions"))
+      .limit(cap).as[(String, String, Long)].collect()
+    if (collected.length <= driverMaxVertices) {
+      val rows = collected
         .map { case (tag, sf, n) => (tag, sf, n, normKeyJvm(sf)) }
       // global char idf (mirrors charIdf: nk-bearing forms only,
       // per-codepoint df, log((1+n)/(1+df))+1)
