@@ -88,9 +88,9 @@ object BenchExtra {
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
               js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            val desc = Option(js.properties)
-              .flatMap(p => Option(p.getProperty("spark.job.description")))
-              .getOrElse("")
+            val desc = js.stageInfos.map(si =>
+              s"${si.name.takeWhile(_ != '\n').take(60)}/" +
+                s"${si.numTasks}t").mkString(" | ")
             events.put(js.jobId, (js.time, desc))
           }
           override def onJobEnd(

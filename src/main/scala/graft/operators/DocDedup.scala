@@ -31,14 +31,109 @@ object DocDedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles as an array column (lowercased, whitespace-split). */
-  def shingles(text: org.apache.spark.sql.Column, k: Int = 3)
-      : org.apache.spark.sql.Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  /** Distinct word k-shingle STRINGS of an already `lower(trim(text))`-
+    * folded string, order of first occurrence kept — the JVM twin of the
+    * old HOF column (`array_distinct(transform(sequence(0,
+    * greatest(n-k, 0)), i => concat_ws(" ", slice(toks, i+1, k))))`
+    * over `split(lowered, "\\s+")`), including its quirks: split keeps
+    * empty leading/trailing pieces (limit -1), `n < k` yields ONE
+    * shortened shingle, and a token-free string yields [""]
+    * (`split("")` is [""] and the single shingle joins it). */
+  private[operators] def shingleStrings(s: String, k: Int): Array[String] = {
+    val toks = s.split("\\s+", -1)
+    val nSh = math.max(toks.length - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[String](nSh * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
   }
+
+  /** NULL text quirk shared by all three statics below: the old chain did
+    * NOT propagate null — `size(null)` is null, `greatest(null, 0)` is 0,
+    * `sequence(0, 0)` is [0], and `concat_ws` over the null token slice
+    * yields "" — so a null document produced the SAME singleton [""]
+    * shingle set as an empty one (probed and pinned in OptEquivSpec). */
+  private def shingleStringsOrNullQuirk(lowered:
+      org.apache.spark.unsafe.types.UTF8String, k: Int): Array[String] =
+    if (lowered == null) Array("") else shingleStrings(lowered.toString, k)
+
+  /** StaticInvoke target for [[shingles]]. */
+  def shinglesFromLowered(lowered: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleStringsOrNullQuirk(lowered, k)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
+          .asInstanceOf[Any]))
+
+  /** The murmur3 pair hash of one shingle string — the exact arithmetic
+    * of the old [[shingleHashes]] UDF closure. */
+  @inline private def shingleHash(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 13).toLong & 0xffffffffL)
+
+  /** StaticInvoke target fusing shingles + hashes + sort: the sorted
+    * distinct-shingle hash array straight from the lowered text. */
+  def shingleHashesFromLowered(
+      lowered: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sh = shingleStringsOrNullQuirk(lowered, k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = shingleHash(sh(i)); i += 1 }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def lowerTrim(text: org.apache.spark.sql.Column) = lower(trim(text))
+
+  private def staticArray(name: String,
+      args: Seq[org.apache.spark.sql.Column],
+      elem: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      DocDedup.getClass,
+      org.apache.spark.sql.types.ArrayType(elem, containsNull = false),
+      name, args.map(toExpression), Nil,
+      propagateNull = false, returnNullable = true))
+  }
+
+  /** Word k-shingles as an array column (lowercased, whitespace-split).
+    *
+    * r06: was `array_distinct(transform(sequence(...), i => concat_ws(
+    * " ", slice(toks, i+1, k))))` — four nested higher-order functions,
+    * all CodegenFallback, re-run interpreted on every branch of the
+    * dedup pipeline (candidate index AND both verify sides). Now one
+    * codegen'd StaticInvoke ([[shingleStrings]] pins the quirks; trim/
+    * lower stay Spark's own expressions). */
+  def shingles(text: org.apache.spark.sql.Column, k: Int = 3)
+      : org.apache.spark.sql.Column =
+    staticArray("shinglesFromLowered",
+      Seq(lowerTrim(text), lit(k)),
+      org.apache.spark.sql.types.StringType)
+
+  /** Sorted distinct shingle hashes straight from the text column —
+    * fuses [[shingles]] + [[shingleHashes]] into one call (no
+    * intermediate shingle-string array crosses the expression tree). */
+  def shingleHashesOf(text: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    staticArray("shingleHashesFromLowered",
+      Seq(lowerTrim(text), lit(k)),
+      org.apache.spark.sql.types.LongType)
 
   /** Sorted distinct 64-bit shingle hashes, as ONE scalar closure over
     * the shingle string array (two murmur3 seeds -> effectively injective
@@ -153,7 +248,7 @@ object DocDedup {
   private def verifyJaccard(documents: DataFrame, cands: DataFrame, k: Int,
       threshold: Double): DataFrame = {
     val shh = documents.select(col("doc_id"),
-      shingleHashes(shingles(col("text"), k)).as("shh"))
+      shingleHashesOf(col("text"), k).as("shh"))
     cands
       .join(shh.select(col("doc_id").as("doc_a"), col("shh").as("sha")),
         "doc_a")
@@ -165,6 +260,19 @@ object DocDedup {
   }
 
   private val MinhashP = 2147483647L // 2^31 - 1
+
+  /** The seeded affine (a_i, b_i) parameter arrays, cached per numHashes
+    * (they are pure functions of i — recomputing them per ROW in the
+    * fused minhash static would be avoidable allocation). */
+  private val affineCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Array[Long], Array[Long])]()
+  private def affineParams(numHashes: Int): (Array[Long], Array[Long]) =
+    affineCache.computeIfAbsent(numHashes, { n =>
+      (Array.tabulate(n)(i =>
+        1L + 2L * ((i * 0x9E3779B9L + 0x85EBCA6BL) % 1000000007L % (MinhashP / 2))),
+        Array.tabulate(n)(i =>
+          (i * 0xC2B2AE35L + 0x27D4EB2FL) % MinhashP))
+    })
 
   /** Seeded affine MinHash over a sorted shingle-hash array: for hash i,
     * min over shingles of ((a_i * h + b_i) mod p). ONE closure computing
@@ -199,11 +307,40 @@ object DocDedup {
     f(shHashes)
   }
 
+  /** StaticInvoke target fusing shingles + hashes + affine mins: the
+    * full MinHash signature straight from the lowered text. Same affine
+    * parameters as [[minhashFromHashes]]; min over the shingle-hash set
+    * is order-free, so skipping the sort changes nothing. */
+  def minhashFromLowered(lowered: org.apache.spark.unsafe.types.UTF8String,
+      numHashes: Int, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sh = shingleStringsOrNullQuirk(lowered, k)
+    val (as, bs) = affineParams(numHashes) // cached — not per row
+    val out = Array.fill(numHashes)(MinhashP)
+    var s = 0
+    while (s < sh.length) {
+      val h = shingleHash(sh(s))
+      var i = 0
+      while (i < numHashes) {
+        val v = ((h * as(i) + bs(i)) % MinhashP + MinhashP) % MinhashP
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Seeded affine MinHash signature of a text column. Row-local;
-    * deterministic across runs and parallelism. */
+    * deterministic across runs and parallelism.
+    *
+    * r06: fused into one codegen'd StaticInvoke (was shingle HOF chain →
+    * shingleHashes UDF → minhash UDF, three interpreted/boxed hops). */
   def minhashSignature(text: org.apache.spark.sql.Column, numHashes: Int = 32,
       k: Int = 3): org.apache.spark.sql.Column =
-    minhashFromHashes(shingleHashes(shingles(text, k)), numHashes)
+    staticArray("minhashFromLowered",
+      Seq(lowerTrim(text), lit(numHashes), lit(k)),
+      org.apache.spark.sql.types.LongType)
 
   /**
    * MinHash LSH near-dup candidates + exact-Jaccard verification.
@@ -221,8 +358,14 @@ object DocDedup {
       minhashSignature(col("text"), numHashes, k).as("sig"))
     val bandCols = (0 until bands).map(b =>
       hash(slice(col("sig"), b * r + 1, r), lit(b)))
+    // lazy localCheckpoint (r06): materialize the (doc_id, band, bh)
+    // table once for both sides of the self-join — each side otherwise
+    // re-runs the full shingle+minhash signature pass (and CollapseProject
+    // inlines the signature into every band expression); ids+ints only,
+    // bounded by N x bands
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .localCheckpoint(false)
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -76,6 +76,56 @@ object Similarity {
     f(vec)
   }
 
+  /** Per-band bucket hashes as ONE closure: signature + all band hashes
+    * in a single pass over the vector.
+    *
+    * r06: the old shape (`bandCols = hash(slice(sig, b*r+1, r))` over a
+    * `sig` column from [[lshSignature]]) let CollapseProject inline the
+    * signature UDF into EVERY band expression — 8 signature evaluations
+    * per row per side of the band join (guide §4.4's duplication problem,
+    * measured as the two ~0.8s jobs dominating q_embed_lsh_pairs). The
+    * band hash is computed with Spark's own Murmur3
+    * (`Murmur3HashFunction.hash` over the int-array slice, seed 42 — the
+    * exact arithmetic of the old `hash(slice(...))` expression), so
+    * bucket assignments are bit-identical and the candidate/pair sets
+    * cannot shift. */
+  def lshBandHashes(vec: Column, planes: Array[Array[Double]],
+      bands: Int): Column = {
+    val numPlanes = planes.length
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val sliceType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val sig = new Array[Int](numPlanes)
+        var i = 0
+        while (i < numPlanes) {
+          val p = planes(i)
+          var dot = 0.0
+          var j = 0
+          val n = math.min(p.length, v.length)
+          while (j < n) { dot += v(j) * p(j); j += 1 }
+          sig(i) = if (dot >= 0) 1 else 0
+          i += 1
+        }
+        val out = new Array[Int](bands)
+        var b = 0
+        while (b < bands) {
+          out(b) = org.apache.spark.sql.catalyst.expressions
+            .Murmur3HashFunction.hash(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                java.util.Arrays.copyOfRange(sig, b * r, b * r + r)),
+              sliceType, 42L).toInt
+          b += 1
+        }
+        out
+      }
+    }
+    f(vec)
+  }
+
   /** Exact cosine top-k neighbors for a query subset.
     * queries: (vec_id, embedding) — SMALL (broadcast side).
     * corpus: (vec_id, embedding) — the full table. */
@@ -109,17 +159,22 @@ object Similarity {
       numPlanes: Int = 64, bands: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0)
-    val r = numPlanes / bands
     val planes = hyperplanes(dim, numPlanes, seed)
     // the band join and the candidate dedup ship/compare IDS ONLY — the
     // embedding vectors would otherwise ride through the shuffle and the
     // distinct would hash full arrays; vectors are re-joined just for the
     // exact verification of the (far fewer) surviving candidates
-    val sig = embeddings.select(col("vec_id"),
-      lshSignature(col("embedding"), planes).as("sig"))
-    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * r + 1, r)))
-    val banded = sig.select(col("vec_id"), posexplode(array(bandCols: _*)))
+    // one fused signature+band-hash pass per row (see [[lshBandHashes]]);
+    // posexplode(pos = band index, col = bucket hash) as before. The lazy
+    // localCheckpoint materializes the (vec_id, band, bh) table ONCE for
+    // both sides of the self-join below — without it each side re-scans
+    // the embeddings and re-runs the signature pass (ids+band ints only:
+    // 16 bytes/doc/band, the exact table the Scaladoc above says the
+    // shuffle ships, so caching it is bounded by N x bands, not payloads)
+    val banded = embeddings.select(col("vec_id"),
+      posexplode(lshBandHashes(col("embedding"), planes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .localCheckpoint(false)
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -147,13 +202,10 @@ object Similarity {
       numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0)
-    val r = numPlanes / bands
     val planes = hyperplanes(dim, numPlanes, seed)
     def banded(df: DataFrame, idName: String, eName: String) = {
-      val sig = lshSignature(col("embedding"), planes)
-      val bandCols = (0 until bands).map(b => hash(slice(sig, b * r + 1, r)))
       df.select(col("vec_id").as(idName), col("embedding").as(eName),
-        posexplode(array(bandCols: _*)))
+        posexplode(lshBandHashes(col("embedding"), planes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     }
     val qb = banded(queries, "query_id", "qe")

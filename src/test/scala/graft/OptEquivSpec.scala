@@ -162,6 +162,78 @@ class OptEquivSpec extends SparkSuite {
     }
   }
 
+  // original (pre-r06) shingle column, kept as the reference
+  private def shinglesHof(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  test("shingles static == original HOF chain (incl. short/empty quirks)") {
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), // fewer tokens than k -> one shortened shingle
+      (3L, "single"),
+      (4L, ""), // split("") == [""] -> one empty shingle
+      (5L, null),
+      (6L, "  padded   with   runs  of spaces  "),
+      (7L, "dup dup dup dup dup"), // distinct collapses repeats
+      (8L, "tab\tand\nnewline separated words here")
+    ).toDF("id", "text")
+    val got = docs.select(col("id"),
+      DocDedup.shingles(col("text"), 3).as("fast"),
+      shinglesHof(col("text"), 3).as("ref")).collect()
+    got.foreach { r =>
+      assert(Option(r.get(1)).map(_.toString) ==
+        Option(r.get(2)).map(_.toString),
+        s"shingles diverged at id=${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}")
+    }
+    // fused hash array == UDF(HOF shingles), fused minhash == UDF chain
+    val cmp = docs.select(col("id"),
+      DocDedup.shingleHashesOf(col("text"), 3).as("fh"),
+      DocDedup.shingleHashes(shinglesHof(col("text"), 3)).as("rh"),
+      DocDedup.minhashSignature(col("text"), 32, 3).as("fm"),
+      DocDedup.minhashFromHashes(
+        DocDedup.shingleHashes(shinglesHof(col("text"), 3)), 32).as("rm"))
+      .collect()
+    cmp.foreach { r =>
+      assert(Option(r.get(1)).map(_.toString) ==
+        Option(r.get(2)).map(_.toString),
+        s"shingleHashes diverged at id=${r.getLong(0)}")
+      assert(Option(r.get(3)).map(_.toString) ==
+        Option(r.get(4)).map(_.toString),
+        s"minhash diverged at id=${r.getLong(0)}")
+    }
+  }
+
+  test("shingle statics == HOF chain on the sf0.001 documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      DocDedup.shingles(col("text"), 3).as("fast"),
+      shinglesHof(col("text"), 3).as("ref"),
+      DocDedup.minhashSignature(col("text"), 32, 3).as("fm"),
+      DocDedup.minhashFromHashes(
+        DocDedup.shingleHashes(shinglesHof(col("text"), 3)), 32).as("rm"))
+      .where(col("fast") =!= col("ref") || col("fm") =!= col("rm"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("lshBandHashes == original hash(slice(signature)) on real embeddings") {
+    val planes = Similarity.hyperplanes(64, 64)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bandCols = (0 until 8).map(b =>
+      hash(slice(Similarity.lshSignature(col("embedding"), planes),
+        b * 8 + 1, 8)))
+    val diff = emb.select(
+      Similarity.lshBandHashes(col("embedding"), planes, 8).as("fast"),
+      array(bandCols: _*).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("langId static == HOF on the sf0.001 documents corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val diff = docs.select(
