@@ -382,7 +382,11 @@ object SparkEntry {
 
     "q_confusion" -> ((s, d) =>
       // A7 shape: confusion counts between the stored lang and the
-      // heuristic language ID (one hash aggregate)
+      // heuristic language ID (one hash aggregate). r06 note: measured
+      // the single-split scan as a suspect (guide §2.5) and REJECTED a
+      // repartition — the fused langId pass is ~15ms for the whole table
+      // (probe in OPTIMIZATION_r06.md), so the remaining first-run cost
+      // is codegen + first text-column read, which a shuffle only adds to.
       t(s, d, "documents")
         .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
@@ -823,16 +827,24 @@ object SparkEntry {
       // two disjoint halves — exactly what runIncremental reads after
       // two batches — and the per-pred digest must equal the one-shot
       // q_kg_edges VALUES verbatim (same independently-minted oracle).
+      // lazy checkpoints (r06): the two parity branches otherwise each
+      // re-run the mention flatMap / triple emission over the shared
+      // decoded prefix — materialize the common subtree once; the
+      // two-batch ALGEBRA under test (per-half surfaceForms -> mergeForms
+      // -> canonicalMapFromForms, union of disjoint triple halves) is
+      // unchanged
       val mentions = Decode.mentions(s, decodedPrefix(s, 300L)).toDF()
+        .localCheckpoint(false)
       val forms = Canonicalize.mergeForms(
         Canonicalize.surfaceForms(
           mentions.where(crc32(col("conv_id")) % 2 === 0)),
         Canonicalize.surfaceForms(
           mentions.where(crc32(col("conv_id")) % 2 === 1)))
-        .localCheckpoint(false) // lazy (r06): materialized by the single
-        // limit-collect in canonicalMapFromForms' driver path
+        .localCheckpoint(false) // materialized by the single limit-collect
+        // in canonicalMapFromForms' driver path
       val canonMap = Canonicalize.canonicalMapFromForms(s, forms)
       val t = Triples.triples(s, decodedPrefix(s, 300L)).toDF()
+        .localCheckpoint(false)
       val unioned = t.where(crc32(col("conv_id")) % 2 === 0)
         .unionByName(t.where(crc32(col("conv_id")) % 2 === 1))
       import s.implicits._
@@ -858,6 +870,7 @@ object SparkEntry {
       // divergence in canonicalMapFromForms flips a full value-level
       // hash gate, not a rows-only count.
       val mentions = Decode.mentions(s, decodedPrefix(s, 300L)).toDF()
+        .localCheckpoint(false) // lazy, as in q_kg_incremental_edges
       val b0 = mentions.where(crc32(col("conv_id")) % 2 === 0)
       val b1 = mentions.where(crc32(col("conv_id")) % 2 === 1)
       val forms = Canonicalize.mergeForms(
