@@ -22,24 +22,46 @@ final class AhoCorasick private (
     val patterns: Array[String])
     extends Serializable {
 
+  /** r06: dense root goto table — `rootTo(c)` = the root's transition on
+    * char c, 0 if none. The scan spends most of its steps AT the root
+    * (filler text matches no pattern prefix), where the generic path paid
+    * a ~6-compare binary search over the root's fan-out per char; this is
+    * one array read. 256 KiB of ints per executor (bounded by the char
+    * space, not the state count — a 50k-surface stress automaton has
+    * >10^5 states, which is why this is int-typed); states beyond the root keep
+    * the compact sorted-array search (their fan-out is tiny and they are
+    * visited only inside candidate matches). `@transient lazy val`:
+    * cheaper to rebuild once per executor JVM than to ship, and Scala's
+    * lazy-val initialization is thread-safe (safe publication under the
+    * JMM — a plain @transient var would risk another task observing a
+    * partially-written table, i.e. silently missed root transitions). */
+  @transient private lazy val rootTo: Array[Int] = {
+    val t = new Array[Int](Character.MAX_VALUE + 1) // 0-init = "no move"
+    var k = base(0)
+    while (k < base(1)) {
+      t(transChar(k)) = transTo(k)
+      k += 1
+    }
+    t
+  }
+  private[operators] def stateCount: Int = base.length - 1
+
   @inline private def step(fromState: Int, c: Char): Int = {
     var s = fromState
-    while (true) {
+    while (s != 0) {
       val lo = base(s); val hi = base(s + 1)
       // binary search c in transChar[lo, hi)
-      var l = lo; var h = hi - 1; var found = -1
+      var l = lo; var h = hi - 1
       while (l <= h) {
         val m = (l + h) >>> 1
         val mc = transChar(m)
-        if (mc == c) { found = m; l = h + 1 }
+        if (mc == c) return transTo(m)
         else if (mc < c) l = m + 1
         else h = m - 1
       }
-      if (found >= 0) return transTo(found)
-      if (s == 0) return 0
       s = fail(s)
     }
-    0
+    rootTo(c)
   }
 
   /** All matches packed as (patternId << 32 | endExclusive) longs — a
@@ -47,11 +69,13 @@ final class AhoCorasick private (
   def findAllPacked(text: CharSequence): Array[Long] = {
     var res = new Array[Long](8)
     var k = 0
-    var s = 0
+    val root = rootTo // hoist the lazy-val (bitmap-checked) read off the
+    var s = 0         // per-char loop — the root case dominates the scan
     var i = 0
     val n = text.length
     while (i < n) {
-      s = step(s, text.charAt(i))
+      val c = text.charAt(i)
+      s = if (s == 0) root(c) else step(s, c)
       var o = outHead(s)
       while (o != -1) {
         if (k == res.length) res = java.util.Arrays.copyOf(res, k * 2)

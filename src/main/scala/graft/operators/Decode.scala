@@ -68,7 +68,11 @@ object Decode {
     }
     if (curTag != null)
       push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
-    if (out == null) Seq.empty else out.toSeq
+    if (out == null) Seq.empty
+    // ArraySeq wrap, not .toSeq (r06): ArrayBuffer.toSeq delegates to
+    // List.from — one cons cell per entity on the per-turn hot path;
+    // allocation rate is the measured scaling limiter
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** [[decodeEntities]] over packed start<<32|end token offsets — the
@@ -105,7 +109,8 @@ object Decode {
     }
     if (curTag != null)
       push(Entity(curTag, text.substring(curStart, curEnd), curStart, curEnd))
-    if (out == null) Seq.empty else out.toSeq
+    if (out == null) Seq.empty
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray) // see decodeEntities
   }
 
   /**
@@ -177,13 +182,27 @@ object Decode {
     if (out == null) Seq.empty else out.toSeq
   }
 
-  /** Me-substitution (D3): first-person mention -> speaker. */
-  def meSubstitute(entities: Seq[Entity], speaker: String): Seq[Entity] =
-    entities.map { e =>
-      if (Gazetteer.MeStopWords.contains(e.text.toLowerCase(java.util.Locale.ROOT)))
-        e.copy(text = speaker)
-      else e
-    }
+  /** Me-substitution (D3): first-person mention -> speaker.
+    *
+    * r06 hot-path form: copy-on-write — the overwhelming majority of
+    * turns contain no first-person mention, and the unconditional .map
+    * rebuilt the whole entity seq (plus one lowercase alloc PER entity)
+    * every turn. The length pre-filter is sound: toLowerCase(ROOT) never
+    * shortens a string (special casing only expands, e.g. İ), so a text
+    * longer than the longest stop word cannot lower into the set. */
+  private val MeStopMaxLen = Gazetteer.MeStopWords.map(_.length).max
+  @inline private def isMe(e: Entity): Boolean =
+    e.text.length <= MeStopMaxLen &&
+      Gazetteer.MeStopWords.contains(e.text.toLowerCase(java.util.Locale.ROOT))
+  def meSubstitute(entities: Seq[Entity], speaker: String): Seq[Entity] = {
+    // iterator, not indexed access: callers may pass a List, where
+    // length/apply would be O(n)/O(i)
+    val it = entities.iterator
+    var any = false
+    while (it.hasNext && !any) if (isMe(it.next())) any = true
+    if (!any) entities
+    else entities.map(e => if (isMe(e)) e.copy(text = speaker) else e)
+  }
 
   /** tagged turns -> decoded turns (narrow, row-local). */
   def decode(spark: SparkSession, tagged: Dataset[TaggedTurn]): Dataset[DecodedTurn] = {

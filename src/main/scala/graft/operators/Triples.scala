@@ -109,7 +109,10 @@ object Triples {
     var i = 0
     while (i < 9) {
       out(i) = if (grouped(i) == null) Seq.empty[String]
-        else GreedyDedup.filterUniqueEntities(grouped(i).toSeq)
+        // ArraySeq wrap, not .toSeq (List.from) — hot path, see Decode
+        else GreedyDedup.filterUniqueEntities(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            grouped(i).toArray))
       i += 1
     }
     if (out(IMod).nonEmpty)
@@ -154,7 +157,7 @@ object Triples {
       val docKey = s"$convId#$turnIdx"
       result(IMisc).foreach(x => out += tr(docKey, "mentions_person", x))
     }
-    out.toSeq
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray) // not List.from
   }
 
   /** decoded turns -> triples (narrow, row-local). */
