@@ -23,10 +23,16 @@ import graft.operators.{Coref, Decode, Detector}
  * that PRECEDE it (ti < turn_idx — in-order input can never present a
  * future antecedent, so the guard is a no-op there), and a back-filled
  * old title inserts into `recent` in recency order rather than masking
- * newer ones. What stays irrecoverable by design: an anaphor processed
- * before its antecedent's turn ARRIVES emits nothing (append mode —
- * no retraction), matching the batch path only once delivery is
- * complete and in order per conversation.
+ * newer ones. What stays irrecoverable by design (two cases, ADVICE r5):
+ * an anaphor processed before its antecedent's turn ARRIVES emits
+ * nothing (append mode — no retraction); and a late anaphor whose valid
+ * antecedent DID arrive but was already EVICTED from the bounded
+ * `recent` list (window+1 titles, max-turn_idx retained) also emits
+ * nothing — the batch path, which sees whole conversations, would have
+ * resolved it. Both diverge from batch only under cross-batch
+ * out-of-order delivery; if late-anaphor parity matters, retain titles
+ * by turn-distance horizon (turn_idx >= lastSeen - window) instead of a
+ * fixed count — bounded as long as per-conv turn numbering is dense.
  */
 object StatefulCoref {
 

@@ -93,7 +93,17 @@ object StreamingIngest {
         col("n_mentions"))
   }
 
-  /** Sink triples as parquet with a streaming checkpoint. */
+  /** Sink triples as parquet with a streaming checkpoint.
+    *
+    * Duplicate contract (ADVICE r5): upstream dedup is
+    * `dropDuplicatesWithinWatermark` — it bounds state, at the cost that
+    * a (conv_id, turn_idx) retry arriving AFTER the watermark evicted its
+    * key is no longer dropped and lands in this sink as a duplicate turn's
+    * triples. Downstream consumers must tolerate rare post-watermark
+    * duplicates (or dedup at read on (conv_id, turn_idx, subj, pred,
+    * obj)); retries from healthy sources arrive well inside the
+    * watermark, so this is a tail-risk documented, not a steady-state
+    * behavior. */
   def startParquetSink(triples: Dataset[Triple], outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     triples.writeStream
