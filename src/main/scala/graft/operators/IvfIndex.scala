@@ -59,8 +59,16 @@ object IvfIndex {
 
   /** Mini k-means (deterministic): init = first k by vec_id, `iters`
     * assignment/update rounds. Returns k x dim centroids. */
-  def train(embeddings0: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
-    val embeddings = asDouble(embeddings0)
+  def train(embeddings0: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] =
+    trainCasted(asDouble(embeddings0), k, iters)
+
+  /** [[train]] over an ALREADY double-cast (and ideally materialized)
+    * table — the corpus plan is evaluated once per iteration plus the
+    * init collect, so [[ivfTopK]] shares one lazily-checkpointed cast
+    * across training AND the final cell assignment (r06: the old shape
+    * re-scanned + re-cast the parquet corpus five times per query). */
+  private def trainCasted(embeddings: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = embeddings.orderBy("vec_id")
       .limit(k).select("embedding").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -89,8 +97,9 @@ object IvfIndex {
     * exact brute force (the driver's q_embed_ivf_topk exactness gate). */
   def ivfTopK(queries0: DataFrame, corpus0: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val (queries, corpus) = (asDouble(queries0), asDouble(corpus0))
-    val centroids = train(corpus, nCentroids, iters)
+    val queries = asDouble(queries0)
+    val corpus = asDouble(corpus0).localCheckpoint(false) // see trainCasted
+    val centroids = trainCasted(corpus, nCentroids, iters)
     val cells = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
       nearestUdf(centroids)(col("embedding")).as("cell"))
